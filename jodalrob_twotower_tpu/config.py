@@ -1,0 +1,180 @@
+"""Typed configuration for the framework.
+
+Reproduces every hyperparameter of the reference's monolithic config dict
+(reference: scripts/train.py:84-134) as typed dataclasses, extended with the
+TPU-native knobs the reference lacks (mesh shape, sharding strategy, Pallas
+kernel flags, input-pipeline prefetch, serving/quantization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Mapping, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Tower architecture (reference: scripts/train.py:101-111, base_tower.py:49-99)."""
+
+    categorical_embedding_dim: int = 32
+    # Width each raw dense block (numeric / each text embedding) is projected
+    # to before entering the tower MLP. The reference used a *frozen random*
+    # 2-layer projection to 128 (feature_projector.py:5-28, applied under
+    # no_grad); here the projection is a learned layer inside the tower -
+    # an intentional, documented improvement (SURVEY.md 7 "quirks").
+    dense_projection_dim: int = 128
+    tower_hidden_dims: tuple[int, ...] = (512, 256)
+    final_embedding_dim: int = 128
+    dropout_rate: float = 0.1
+    use_batch_norm: bool = True
+    # Compute dtype for tower matmuls; params stay float32.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def hidden_dims(self) -> tuple[int, ...]:
+        return tuple(self.tower_hidden_dims)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Training objective (reference: two_tower_train_task.py:99-158)."""
+
+    # "cross_entropy" = bidirectional in-batch-negatives softmax CE;
+    # "cosine_embedding" = pairwise cosine margin loss (reference alt loss).
+    loss_type: str = "cross_entropy"
+    temperature: float = 1.0
+    label_smoothing: float = 0.0
+    cosine_margin: float = 0.0
+    # Whether in-batch negatives span the global (all-chips) batch or only
+    # the per-chip shard. Global matches the reference semantics at any mesh
+    # size (the full batch is the candidate set); documented design choice
+    # (SURVEY.md 7 "hard parts").
+    global_negatives: bool = True
+    # Use the fused Pallas dot+log-softmax logits kernel when available.
+    use_fused_logits: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Optimizer/schedule (reference: scripts/train.py:231-242)."""
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    num_epochs: int = 1
+    warmup_ratio: float = 0.05
+    # Dense params use adamw; embedding tables use rowwise adagrad (sharded
+    # state, one accumulator scalar per row) unless disabled.
+    embedding_optimizer: str = "rowwise_adagrad"  # or "adamw"
+    embedding_learning_rate: float | None = None  # defaults to learning_rate
+    adagrad_init_accumulator: float = 0.1
+    adagrad_eps: float = 1e-10
+    gradient_clip_norm: float | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (reference: scripts/train.py:86-100)."""
+
+    batch_size: int = 256
+    test_split: float = 0.2
+    shuffle_seed: int = 42
+    pair_limit: int | None = 1_000_000
+    # Streaming chunk size when reading parquet pair chunks.
+    chunk_size: int = 1_000_000
+    # Number of batches prefetched onto the device.
+    prefetch: int = 2
+    drop_remainder: bool = True
+    # Host-side batch assembly: "numpy" or "native" (C++ gather extension).
+    assembler: str = "native"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / parallelism. The reference has none of this (SURVEY.md 2.5)."""
+
+    # Axis sizes; -1 on the data axis means "all remaining devices".
+    data_axis: int = -1
+    model_axis: int = 1
+    # Embedding-table sharding: "replicated", "gspmd_rows" (NamedSharding on
+    # rows, XLA inserts collectives), or "shard_map" (explicit all-gather ids
+    # + psum_scatter rows over the data axis).
+    embedding_sharding: str = "gspmd_rows"
+    # Use the Pallas gather kernel for embedding lookup on TPU.
+    use_pallas_lookup: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CheckpointConfig:
+    """Checkpointing (reference: scripts/train.py:497-534)."""
+
+    output_dir: str = "output/models"
+    save_best: bool = True
+    save_final: bool = True
+    save_every_epoch: bool = True
+    keep_n: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Top-level config bundling all subsystems."""
+
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    data: DataConfig = DataConfig()
+    mesh: MeshConfig = MeshConfig()
+    checkpoint: CheckpointConfig = CheckpointConfig()
+    log_interval: int = 20
+    metadata_path: str | None = None
+    results_csv: str = "train_results.csv"
+    seed: int = 42
+
+    # -- (de)serialization ---------------------------------------------------
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "TrainConfig":
+        def build(klass, sub):
+            fields = {f.name: f for f in dataclasses.fields(klass)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown {klass.__name__} field {k!r}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return klass(**kwargs)
+
+        kwargs: dict[str, Any] = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in (
+                "model", "loss", "optimizer", "data", "mesh", "checkpoint",
+            ):
+                sub_cls = {
+                    "model": ModelConfig,
+                    "loss": LossConfig,
+                    "optimizer": OptimizerConfig,
+                    "data": DataConfig,
+                    "mesh": MeshConfig,
+                    "checkpoint": CheckpointConfig,
+                }[f.name]
+                kwargs[f.name] = build(sub_cls, v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "TrainConfig":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+    def replace(self, **kwargs) -> "TrainConfig":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,72 @@
+"""Unified categorical embedding table.
+
+The reference keeps a python dict of per-key ``nn.Embedding`` modules and
+decodes each batch with a B*K python loop (cat_embed.py:88-123, its hottest
+CPU spot). TPU-native design: ALL features share one ``[total_rows, D]``
+table ("table-batched" layout, the same idea FBGEMM's TBE kernels use on
+GPU); per-feature id ranges are remapped with static offsets and the lookup
+is a single row gather, so one op serves every feature, row-sharding is a
+single NamedSharding on dim 0, and the rowwise-Adagrad accumulator is one
+``[total_rows, 1]`` array.
+
+Out-of-range ids clamp into the feature's vocab (reference parity,
+cat_embed.py:115-117).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jodalrob_twotower_tpu.ops.embedding_lookup import embedding_lookup
+
+# Pad the unified table's row count so any mesh axis up to this size can
+# row-shard it evenly.
+ROW_ALIGNMENT = 128
+
+
+def table_layout(vocab_sizes: tuple[int, ...], row_alignment: int = ROW_ALIGNMENT):
+    """Compute (offsets, total_rows) for the unified table."""
+    offsets = np.zeros(len(vocab_sizes), dtype=np.int32)
+    acc = 0
+    for i, v in enumerate(vocab_sizes):
+        offsets[i] = acc
+        acc += v
+    total = -(-max(acc, 1) // row_alignment) * row_alignment
+    return offsets, total
+
+
+class EmbeddingCollection(nn.Module):
+    """One embedding table row-block per categorical feature, unified.
+
+    Call with int32 ids ``[B, K]`` -> embeddings ``[B, K * embed_dim]``.
+    """
+
+    vocab_sizes: tuple[int, ...]
+    embed_dim: int
+    use_pallas: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        offsets, total_rows = table_layout(self.vocab_sizes)
+        self._offsets = jnp.asarray(offsets, jnp.int32)
+        self._vocabs = jnp.asarray(np.asarray(self.vocab_sizes, np.int32))
+        self.table = self.param(
+            "table",
+            nn.initializers.normal(stddev=1.0 / np.sqrt(self.embed_dim)),
+            (total_rows, self.embed_dim),
+            self.param_dtype,
+        )
+
+    def __call__(self, cat_ids: jax.Array) -> jax.Array:
+        if cat_ids.ndim != 2 or cat_ids.shape[1] != len(self.vocab_sizes):
+            raise ValueError(
+                f"cat_ids must be [B, {len(self.vocab_sizes)}], got {cat_ids.shape}"
+            )
+        ids = jnp.clip(cat_ids, 0, self._vocabs[None, :] - 1)
+        rows = ids + self._offsets[None, :]
+        emb = embedding_lookup(self.table, rows, use_pallas=self.use_pallas)
+        b, k = cat_ids.shape
+        return emb.reshape(b, k * self.embed_dim)

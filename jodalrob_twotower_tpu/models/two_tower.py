@@ -1,0 +1,53 @@
+"""Two-tower model: notice tower + company tower.
+
+Capability parity with the reference ``TwoTowerModel``
+(two_tower_model.py:10-120): paired forward returning both embeddings,
+optional similarity matrix scaled by temperature, and single-side encoders
+for index building / serving. Final dims always match because both towers
+share one :class:`ModelConfig` (the reference asserted this at runtime,
+two_tower_model.py:38-39).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from jodalrob_twotower_tpu.config import ModelConfig
+from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
+from jodalrob_twotower_tpu.models.tower import Tower
+from jodalrob_twotower_tpu.schema import TwoTowerSchema
+
+
+class TwoTowerModel(nn.Module):
+    schema: TwoTowerSchema
+    config: ModelConfig
+    use_pallas_lookup: bool = False
+
+    def setup(self) -> None:
+        self.notice_tower = Tower(
+            self.schema.notice, self.config, self.use_pallas_lookup, name="notice_tower"
+        )
+        self.company_tower = Tower(
+            self.schema.company, self.config, self.use_pallas_lookup, name="company_tower"
+        )
+
+    def __call__(self, batch: PairBatch, *, train: bool = False):
+        """Returns (notice_emb, company_emb), both [B, final_dim], L2-normalized."""
+        return (
+            self.notice_tower(batch.notice, train=train),
+            self.company_tower(batch.company, train=train),
+        )
+
+    def encode_notice(self, batch: TowerBatch, *, train: bool = False) -> jax.Array:
+        return self.notice_tower(batch, train=train)
+
+    def encode_company(self, batch: TowerBatch, *, train: bool = False) -> jax.Array:
+        return self.company_tower(batch, train=train)
+
+    def similarity(self, batch: PairBatch, *, temperature: float = 1.0, train: bool = False):
+        """(notice_emb, company_emb, similarity [B, B] / temperature)."""
+        n, c = self(batch, train=train)
+        sim = jnp.dot(n, c.T, preferred_element_type=jnp.float32) / temperature
+        return n, c, sim

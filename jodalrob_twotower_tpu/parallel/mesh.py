@@ -1,0 +1,55 @@
+"""Device mesh construction and batch shardings.
+
+The reference is single-GPU with no distributed layer at all (SURVEY.md
+§2.5-2.6). Here parallelism is declarative GSPMD: one logical mesh with a
+``data`` axis (batch + embedding-table rows shard over it) and an optional
+``model`` axis (unused by default — the tower MLPs are far too small for
+tensor parallelism to pay for its collectives). XLA inserts all collectives:
+all-reduce for dense grads, all-gather for the global in-batch-negative
+logits, and the gather/scatter exchanges of the row-sharded tables.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jodalrob_twotower_tpu.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Sequence[jax.Device] | None = None,
+    cfg: MeshConfig | None = None,
+) -> Mesh:
+    """Build a [data, model] mesh; data axis absorbs remaining devices."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(cfg.model_axis, 1)
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model_axis={model}")
+    data = cfg.data_axis if cfg.data_axis > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    grid = np.asarray(devices).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard batches along dim 0 over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 0 (embedding-table rows / rowwise optimizer state)."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

@@ -1,0 +1,186 @@
+"""Jitted train/eval steps and the train state.
+
+Replaces the reference's eager torch loop (scripts/train.py:281-433 —
+forward, backward, optimizer.step, scheduler.step, metric computation as
+separate python-dispatched ops) with ONE compiled XLA program per step:
+forward + loss + grads + optimizer update + metrics fuse into a single
+launch, donated buffers, bf16 matmuls on the MXU. Dropout is driven by a
+fold-in of the step counter, so the step function is pure and replayable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from jodalrob_twotower_tpu.config import TrainConfig
+from jodalrob_twotower_tpu.data.types import PairBatch
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.train.loss import compute_loss
+from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
+from jodalrob_twotower_tpu.train.optimizer import build_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Carried training state — a pytree, shardable under pjit."""
+
+    step: jax.Array  # int32 scalar
+    params: Any
+    batch_stats: Any  # BatchNorm running stats ({} when BN disabled)
+    opt_state: optax.OptState
+    rng: jax.Array  # base PRNG key; per-step keys fold in `step`
+
+
+def create_train_state(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    rng: jax.Array,
+    example_batch: PairBatch,
+    total_steps: int,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Initialize params/opt state from an example batch's shapes."""
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng}, example_batch, train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(cfg.optimizer, total_steps)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+    return state, tx
+
+
+def _forward_loss(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    params,
+    batch_stats,
+    batch: PairBatch,
+    dropout_rng,
+    *,
+    train: bool,
+):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (train and batch_stats) else False
+    out = model.apply(
+        variables,
+        batch,
+        train=train,
+        rngs={"dropout": dropout_rng} if train else None,
+        mutable=mutable,
+    )
+    if mutable:
+        (n_emb, c_emb), updates = out
+        new_batch_stats = updates.get("batch_stats", batch_stats)
+    else:
+        n_emb, c_emb = out
+        new_batch_stats = batch_stats
+    loss, sim = compute_loss(
+        cfg.loss.loss_type,
+        n_emb,
+        c_emb,
+        temperature=cfg.loss.temperature,
+        label_smoothing=cfg.loss.label_smoothing,
+        margin=cfg.loss.cosine_margin,
+        use_fused=cfg.loss.use_fused_logits,
+    )
+    return loss, (sim, n_emb, c_emb, new_batch_stats)
+
+
+def make_train_step(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    *,
+    donate: bool = True,
+    jit: bool = True,
+) -> Callable[[TrainState, PairBatch], tuple[TrainState, Mapping[str, jax.Array]]]:
+    """Build the fused train step: grads + update + in-batch metrics."""
+
+    def step_fn(state: TrainState, batch: PairBatch):
+        dropout_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                model, cfg, params, state.batch_stats, batch, dropout_rng, train=True
+            )
+
+        (loss, (sim, _, _, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=state.rng,
+        )
+        metrics = {"loss": loss}
+        if sim is not None:
+            metrics.update(in_batch_metrics(sim))
+        return new_state, metrics
+
+    if not jit:
+        return step_fn
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    *,
+    jit: bool = True,
+) -> Callable[[TrainState, PairBatch], Mapping[str, jax.Array]]:
+    """Eval step: forward (no dropout, frozen BN stats) + loss + metrics."""
+
+    def eval_fn(state: TrainState, batch: PairBatch):
+        loss, (sim, _, _, _) = _forward_loss(
+            model,
+            cfg,
+            state.params,
+            state.batch_stats,
+            batch,
+            jax.random.PRNGKey(0),
+            train=False,
+        )
+        metrics = {"loss": loss}
+        if sim is not None:
+            metrics.update(in_batch_metrics(sim))
+        return metrics
+
+    return jax.jit(eval_fn) if jit else eval_fn
+
+
+def make_encode_fn(
+    model: TwoTowerModel,
+    side: str,
+    *,
+    jit: bool = True,
+):
+    """Single-side encoder for index building / serving
+    (reference: two_tower_model.py:102-108)."""
+
+    def encode(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        method = {"notice": model.encode_notice, "company": model.encode_company}[side]
+        return model.apply(variables, batch, train=False, method=method)
+
+    return jax.jit(encode) if jit else encode
