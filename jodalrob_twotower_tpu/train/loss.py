@@ -46,9 +46,8 @@ def bidirectional_ce_loss(
     if use_fused:
         from jodalrob_twotower_tpu.ops.fused_logits import fused_bidirectional_ce
 
-        loss = fused_bidirectional_ce(
-            notice_emb, company_emb, temperature=temperature, label_smoothing=label_smoothing
-        )
+        # nondiff custom_vjp args are positional: (temperature, smoothing)
+        loss = fused_bidirectional_ce(notice_emb, company_emb, temperature, label_smoothing)
         return loss, None
     sim = jnp.dot(notice_emb, company_emb.T, preferred_element_type=jnp.float32) / temperature
     loss = 0.5 * (_smoothed_ce(sim, label_smoothing) + _smoothed_ce(sim.T, label_smoothing))

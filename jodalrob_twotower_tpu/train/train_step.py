@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from jodalrob_twotower_tpu.config import TrainConfig
-from jodalrob_twotower_tpu.data.types import PairBatch
+from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
 from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
 from jodalrob_twotower_tpu.train.loss import compute_loss
 from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
@@ -139,6 +139,123 @@ def make_train_step(
     if not jit:
         return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_indexed_train_step(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    *,
+    donate: bool = True,
+    jit: bool = True,
+    with_metrics: bool = True,
+):
+    """Train step over DEVICE-RESIDENT feature stores.
+
+    The feature matrices stay in HBM across the whole run; each step receives
+    only a [B, 2] int32 matrix of (notice_row, company_row) pairs and gathers
+    the batch on-device inside the compiled program. This removes the
+    per-step host assembly + H2D feature transfer entirely — the host sends
+    64 KB of indices instead of tens of MB of features (the reference's
+    documented bottleneck was exactly this per-batch host assembly + H2D,
+    README.md:31-57).
+
+    Call: step(state, pair_idx, notice_store, company_store) where each store
+    is a (dense [N, D] float32/bf16, cat_ids [N, K] int32) tuple of jax
+    arrays.
+
+    ``with_metrics=False`` computes only the loss: the in-batch ranking
+    metrics take several extra full passes over the [B, B] similarity matrix
+    (HBM-bound at large B), so the hot loop skips them and the evaluator
+    computes them on eval batches (the reference likewise only displayed
+    train metrics every 20 steps, scripts/train.py:339-352).
+    """
+
+    def step_fn(state: TrainState, pair_idx, notice_store, company_store):
+        n_dense, n_cat = notice_store
+        c_dense, c_cat = company_store
+        n_rows = pair_idx[:, 0]
+        c_rows = pair_idx[:, 1]
+        batch = PairBatch(
+            notice=TowerBatch(
+                dense=jnp.take(n_dense, n_rows, axis=0),
+                cat_ids=jnp.take(n_cat, n_rows, axis=0),
+            ),
+            company=TowerBatch(
+                dense=jnp.take(c_dense, c_rows, axis=0),
+                cat_ids=jnp.take(c_cat, c_rows, axis=0),
+            ),
+        )
+        dropout_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                model, cfg, params, state.batch_stats, batch, dropout_rng, train=True
+            )
+
+        (loss, (sim, _, _, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=state.rng,
+        )
+        metrics = {"loss": loss}
+        if with_metrics and sim is not None:
+            metrics.update(in_batch_metrics(sim))
+        return new_state, metrics
+
+    if not jit:
+        return step_fn
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_scanned_train_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    n_inner: int,
+    *,
+    donate: bool = True,
+    with_metrics: bool = False,
+):
+    """Run ``n_inner`` indexed train steps in ONE device dispatch via lax.scan.
+
+    Amortizes host→device dispatch latency (dominant when the chip is behind
+    a network tunnel or the model is small): pass [n_inner, B, 2] indices,
+    get back metrics stacked [n_inner]. The per-step dropout key folds in the
+    global step counter, so results are bit-identical to n_inner separate
+    calls of the indexed step.
+    """
+    inner = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=with_metrics)
+
+    def steps_fn(state: TrainState, pair_idx_stack, notice_store, company_store):
+        def body(carry, pair_idx):
+            new_state, metrics = inner(carry, pair_idx, notice_store, company_store)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, pair_idx_stack)
+
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
+
+
+def device_store(feature_store, *, sharding=None, dtype=None):
+    """Put a host FeatureStore's matrices on device once, for indexed steps.
+
+    Returns (dense, cat_ids) jax arrays. ``dtype`` optionally downcasts the
+    dense block (bf16 halves HBM footprint; towers cast to compute dtype
+    anyway).
+    """
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jax.device_put
+    dense = put(feature_store.dense)
+    if dtype is not None:
+        dense = dense.astype(dtype)  # cast on device; numpy lacks bf16
+    return dense, put(feature_store.cat_ids)
 
 
 def make_eval_step(

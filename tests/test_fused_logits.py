@@ -1,0 +1,99 @@
+"""Fused logits kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu.ops.fused_logits import (
+    _loss_from_stats,
+    _stats_xla,
+    fused_bidirectional_ce,
+    fused_in_batch_metrics,
+    fused_stats,
+)
+from jodalrob_twotower_tpu.train.loss import bidirectional_ce_loss
+from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
+
+B, D = 256, 128
+
+
+def _embs(rng, b=B, d=D):
+    n = rng.normal(size=(b, d)).astype(np.float32)
+    c = rng.normal(size=(b, d)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return jnp.asarray(n), jnp.asarray(c)
+
+
+@pytest.mark.parametrize("tau", [1.0, 0.1])
+def test_stats_match_xla(rng, tau):
+    n, c = _embs(rng)
+    ref = _stats_xla(n / tau, c)
+    out = fused_stats(n, c, temperature=tau, interpret=True)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-5,
+            atol=1e-5,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.1])
+@pytest.mark.parametrize("tau", [1.0, 0.07])
+def test_fused_loss_matches_reference(rng, eps, tau):
+    n, c = _embs(rng)
+    ref, _ = bidirectional_ce_loss(n, c, temperature=tau, label_smoothing=eps)
+    out = fused_bidirectional_ce(n, c, tau, eps, True)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.1])
+def test_fused_gradients_match(rng, eps):
+    n, c = _embs(rng)
+    tau = 0.2
+
+    ref_grad = jax.grad(
+        lambda a, b: bidirectional_ce_loss(a, b, temperature=tau, label_smoothing=eps)[0],
+        argnums=(0, 1),
+    )(n, c)
+    fused_grad = jax.grad(
+        lambda a, b: fused_bidirectional_ce(a, b, tau, eps, True), argnums=(0, 1)
+    )(n, c)
+    for g_ref, g_out, name in zip(ref_grad, fused_grad, ("dn", "dc")):
+        np.testing.assert_allclose(
+            np.asarray(g_out), np.asarray(g_ref), rtol=1e-4, atol=1e-6, err_msg=name
+        )
+
+
+def test_fused_metrics_match(rng):
+    n, c = _embs(rng)
+    sim = jnp.dot(n, c.T) / 0.5
+    ref = in_batch_metrics(sim)
+    out = fused_in_batch_metrics(n, c, temperature=0.5, interpret=True)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            float(out[k]), float(ref[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
+def test_unsupported_shapes_fall_back(rng):
+    # B not divisible by the block, D not 128-aligned -> XLA path, same result
+    n, c = _embs(rng, b=100, d=64)
+    ref, _ = bidirectional_ce_loss(n, c, temperature=0.3)
+    out = fused_bidirectional_ce(n, c, 0.3, 0.0, False)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    g = jax.grad(lambda a, b: fused_bidirectional_ce(a, b, 0.3, 0.0, False))(n, c)
+    g_ref = jax.grad(lambda a, b: bidirectional_ce_loss(a, b, temperature=0.3)[0])(n, c)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+
+
+def test_loss_from_stats_numerics(rng):
+    """Degenerate similarity (all equal) -> loss = log B exactly."""
+    n = jnp.ones((128, 128), jnp.float32) / jnp.sqrt(128.0)
+    c = jnp.ones((128, 128), jnp.float32) / jnp.sqrt(128.0)
+    out = fused_bidirectional_ce(n, c, 1.0, 0.0, True)
+    np.testing.assert_allclose(float(out), np.log(128.0), rtol=1e-5)
