@@ -1,0 +1,176 @@
+"""Evaluation: in-batch metrics, corpus-level retrieval, prediction demo.
+
+Capability parity with the reference ``TwoTowerEvaluator``
+(src/evaluation/evaluator.py): per-batch recall@k / MRR / accuracy /
+similarity means over in-batch candidates, random baselines, a qualitative
+assessment, and a top-k prediction demo — plus what the reference lacked
+(SURVEY.md §3.4 note): **corpus-level** retrieval metrics, where each query
+ranks against the ENTIRE company corpus, not just its batch.
+
+All ranking math runs on device in fused/vectorized form (the reference
+computed MRR with a per-row python loop, evaluator.py:45-71).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jodalrob_twotower_tpu.config import TrainConfig
+from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.train.metrics import random_baselines
+from jodalrob_twotower_tpu.train.train_step import make_encode_fn, make_eval_step
+
+
+def qualitative_assessment(metrics: Mapping[str, float], batch_size: int) -> str:
+    """Human-readable verdict vs random baselines (reference:
+    evaluator.py:195-267 printed a similar assessment)."""
+    rb = random_baselines(batch_size)
+    lift = metrics.get("accuracy", 0.0) / max(rb["accuracy"], 1e-12)
+    gap = metrics.get("similarity_gap", 0.0)
+    if lift >= 20 and gap > 0.2:
+        quality = "excellent"
+    elif lift >= 5:
+        quality = "good"
+    elif lift >= 2:
+        quality = "weak"
+    else:
+        quality = "no better than random"
+    return (
+        f"{quality}: top-1 accuracy {metrics.get('accuracy', 0.0):.4f} is "
+        f"{lift:.1f}x the random baseline {rb['accuracy']:.4f}; "
+        f"similarity gap {gap:.4f}"
+    )
+
+
+class Evaluator:
+    """Runs eval over batches and aggregates the reference metric surface."""
+
+    def __init__(self, model: TwoTowerModel, cfg: TrainConfig) -> None:
+        self.model = model
+        self.cfg = cfg
+        self._eval_step = make_eval_step(model, cfg)
+        self._encode_notice = make_encode_fn(model, "notice")
+        self._encode_company = make_encode_fn(model, "company")
+
+    def evaluate(self, state, batches: Iterable[PairBatch]) -> dict[str, float]:
+        """Average the in-batch metrics over all batches (reference
+        evaluate_comprehensive, evaluator.py:157-267)."""
+        total: dict[str, float] = {}
+        n = 0
+        batch_size = 0
+        for batch in batches:
+            m = self._eval_step(state, batch)
+            batch_size = batch.batch_size
+            for k, v in m.items():
+                total[k] = total.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return {}
+        out = {k: v / n for k, v in total.items()}
+        out["num_batches"] = float(n)
+        out["assessment_batch_size"] = float(batch_size)
+        return out
+
+    # -- corpus-level ------------------------------------------------------
+    def encode_corpus(
+        self,
+        state,
+        store_dense: np.ndarray,
+        store_cat: np.ndarray,
+        *,
+        side: str = "company",
+        batch_size: int = 8192,
+    ) -> jax.Array:
+        """Encode a whole side's feature store into [N, D] embeddings
+        (index-building path; reference two_tower_model.py:102-108)."""
+        encode = self._encode_company if side == "company" else self._encode_notice
+        n = store_dense.shape[0]
+        chunks = []
+        for start in range(0, n, batch_size):
+            tb = TowerBatch(
+                dense=jnp.asarray(store_dense[start : start + batch_size]),
+                cat_ids=jnp.asarray(store_cat[start : start + batch_size]),
+            )
+            chunks.append(encode(state, tb))
+        return jnp.concatenate(chunks, axis=0)
+
+
+@dataclasses.dataclass
+class CorpusEvalResult:
+    recall: dict[int, float]
+    mrr: float
+    num_queries: int
+    corpus_size: int
+
+
+def corpus_retrieval_eval(
+    query_emb: jax.Array,
+    corpus_emb: jax.Array,
+    positive_rows: np.ndarray,
+    *,
+    ks: tuple[int, ...] = (10, 100),
+    query_chunk: int = 1024,
+) -> CorpusEvalResult:
+    """True retrieval eval: rank each query's positive against the FULL corpus.
+
+    recall@k = fraction of queries whose positive lands in the top-k;
+    MRR over full-corpus rank. Computed as a chunked [q, N] matmul + rank
+    count — no materialized argsort, no python loops.
+    """
+    nq = query_emb.shape[0]
+    pos = jnp.asarray(np.asarray(positive_rows), jnp.int32)
+
+    @jax.jit
+    def ranks_for(queries, pos_rows):
+        sims = jnp.dot(queries, corpus_emb.T, preferred_element_type=jnp.float32)
+        pos_sim = jnp.take_along_axis(sims, pos_rows[:, None], axis=1)
+        return jnp.sum((sims > pos_sim).astype(jnp.int32), axis=1)
+
+    all_ranks = []
+    for start in range(0, nq, query_chunk):
+        all_ranks.append(
+            np.asarray(ranks_for(query_emb[start : start + query_chunk], pos[start : start + query_chunk]))
+        )
+    ranks = np.concatenate(all_ranks)
+    return CorpusEvalResult(
+        recall={k: float((ranks < k).mean()) for k in ks},
+        mrr=float((1.0 / (ranks + 1.0)).mean()),
+        num_queries=nq,
+        corpus_size=corpus_emb.shape[0],
+    )
+
+
+def demonstrate_predictions(
+    query_emb: jax.Array,
+    corpus_emb: jax.Array,
+    *,
+    k: int = 10,
+    query_keys=None,
+    corpus_keys=None,
+) -> list[dict]:
+    """Top-k demo (reference: predict_batch + demonstrate_predictions,
+    two_tower_train_task.py:181-207, evaluator.py:269-284)."""
+    sims = jnp.dot(query_emb, corpus_emb.T, preferred_element_type=jnp.float32)
+    scores, idx = jax.lax.top_k(sims, k)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    out = []
+    for qi in range(query_emb.shape[0]):
+        out.append(
+            {
+                "query": str(query_keys[qi]) if query_keys is not None else qi,
+                "top_k": [
+                    {
+                        "candidate": str(corpus_keys[ci]) if corpus_keys is not None else int(ci),
+                        "score": float(s),
+                    }
+                    for ci, s in zip(idx[qi], scores[qi])
+                ],
+            }
+        )
+    return out

@@ -1,0 +1,112 @@
+"""Checkpointing: orbax-backed save/restore of the full train state.
+
+Capability parity with the reference (scripts/train.py:497-589):
+per-epoch checkpoints, a tracked best checkpoint, a final checkpoint, a
+weights-only export, and resume — but the payload is the sharded JAX train
+state (params + optimizer state + batch stats + step + rng), restored with
+the original shardings, instead of a torch state_dict.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from jodalrob_twotower_tpu.config import CheckpointConfig, TrainConfig
+from jodalrob_twotower_tpu.train.train_step import TrainState
+
+
+class CheckpointManager:
+    """best/final/epoch checkpoint retention on top of orbax.
+
+    Layout under ``directory``:
+      epoch_<n>/   - per-epoch checkpoints (keep_n newest)
+      best/        - checkpoint with the lowest tracked metric
+      final/       - last checkpoint written by finalize()
+      config.json  - the TrainConfig that produced the run
+      best.json    - {"epoch": n, "metric": value}
+    """
+
+    def __init__(self, directory: str | Path, cfg: CheckpointConfig | None = None) -> None:
+        self.dir = Path(directory)
+        self.cfg = cfg or CheckpointConfig()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self._best_metric: float | None = None
+        best_file = self.dir / "best.json"
+        if best_file.exists():
+            self._best_metric = json.loads(best_file.read_text()).get("metric")
+
+    # -- save --------------------------------------------------------------
+    def save_config(self, cfg: TrainConfig) -> None:
+        cfg.to_json(self.dir / "config.json")
+
+    def save_epoch(self, state: TrainState, epoch: int, metric: float | None = None) -> None:
+        """Save an epoch checkpoint; update best/ when the metric improves
+        (reference tracked best val loss, scripts/train.py:426-431)."""
+        if self.cfg.save_every_epoch:
+            self._write(self.dir / f"epoch_{epoch}", state)
+            self._prune_epochs()
+        if (
+            self.cfg.save_best
+            and metric is not None
+            and (self._best_metric is None or metric < self._best_metric)
+        ):
+            self._best_metric = float(metric)
+            self._write(self.dir / "best", state, overwrite=True)
+            (self.dir / "best.json").write_text(
+                json.dumps({"epoch": epoch, "metric": float(metric)})
+            )
+
+    def finalize(self, state: TrainState) -> None:
+        if self.cfg.save_final:
+            self._write(self.dir / "final", state, overwrite=True)
+        # weights-only export (reference model_weights.pt, train.py:525-534)
+        self._write_params_only(self.dir / "weights", state)
+
+    def _write(self, path: Path, state: TrainState, overwrite: bool = False) -> None:
+        if overwrite and path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path.absolute(), state)
+        self._ckptr.wait_until_finished()
+
+    def _write_params_only(self, path: Path, state: TrainState) -> None:
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path.absolute(), {"params": state.params, "batch_stats": state.batch_stats})
+        self._ckptr.wait_until_finished()
+
+    def _prune_epochs(self) -> None:
+        epochs = sorted(
+            (int(p.name.split("_")[1]), p) for p in self.dir.glob("epoch_*") if p.is_dir()
+        )
+        for _, p in epochs[: max(len(epochs) - self.cfg.keep_n, 0)]:
+            shutil.rmtree(p)
+
+    # -- restore -----------------------------------------------------------
+    def available(self) -> list[str]:
+        return sorted(
+            p.name for p in self.dir.iterdir() if p.is_dir() and (p / "_CHECKPOINT_METADATA").exists()
+        )
+
+    def latest_epoch(self) -> int | None:
+        epochs = [int(p.name.split("_")[1]) for p in self.dir.glob("epoch_*") if p.is_dir()]
+        return max(epochs) if epochs else None
+
+    def restore(self, name: str, target: TrainState) -> TrainState:
+        """Restore checkpoint ``name`` ('best', 'final', 'epoch_N') into the
+        structure/shardings of ``target`` (an initialized state)."""
+        return self._ckptr.restore((self.dir / name).absolute(), target)
+
+    def restore_latest(self, target: TrainState) -> tuple[TrainState, int] | None:
+        """Resume support (reference --resume, scripts/train.py:537-589)."""
+        epoch = self.latest_epoch()
+        if epoch is None:
+            return None
+        return self.restore(f"epoch_{epoch}", target), epoch

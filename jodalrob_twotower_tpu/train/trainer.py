@@ -1,0 +1,225 @@
+"""Training driver: the reference's scripts/train.py main loop, TPU-native.
+
+Orchestrates: stores on device -> sharded/fused train steps -> per-epoch
+validation -> best/epoch checkpoints -> corpus-level retrieval eval ->
+results ledger. Single-chip and mesh modes share one code path (a 1-device
+mesh is just a degenerate mesh).
+
+Reference capabilities covered (scripts/train.py:78-589): config surface,
+warmup schedule, epoch loop with train metrics every log_interval, val loop,
+best/epoch/final checkpointing, results CSV, prediction demo hooks, resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jodalrob_twotower_tpu.config import TrainConfig
+from jodalrob_twotower_tpu.data.feature_store import FeatureStore
+from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, epoch_batches
+from jodalrob_twotower_tpu.evaluation.evaluator import (
+    Evaluator,
+    corpus_retrieval_eval,
+    qualitative_assessment,
+)
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.train.checkpoint import CheckpointManager
+from jodalrob_twotower_tpu.train.ledger import append_result
+from jodalrob_twotower_tpu.train.train_step import (
+    create_train_state,
+    device_store,
+    make_eval_step,
+    make_indexed_train_step,
+    make_scanned_train_steps,
+)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: object
+    history: list[dict]
+    final_val: dict[str, float]
+    corpus: object | None
+    examples_per_sec: float
+    num_params: int
+
+
+def _count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))
+
+
+class Trainer:
+    """End-to-end training over host FeatureStores + positive pairs."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        schema,
+        notice_store: FeatureStore,
+        company_store: FeatureStore,
+        *,
+        log_fn: Callable[[str], None] = print,
+    ) -> None:
+        self.cfg = cfg
+        self.schema = schema
+        self.notice_store = notice_store
+        self.company_store = company_store
+        self.model = TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup)
+        self.log = log_fn
+        self.evaluator = Evaluator(self.model, cfg)
+
+    def train(
+        self,
+        train_pairs: np.ndarray,
+        val_pairs: np.ndarray,
+        *,
+        checkpoint_dir: str | Path | None = None,
+        resume: bool = False,
+        corpus_eval: bool = True,
+        n_inner: int = 8,
+    ) -> TrainResult:
+        cfg = self.cfg
+        b = cfg.data.batch_size
+        steps_per_epoch = len(train_pairs) // b
+        total_steps = max(steps_per_epoch * cfg.optimizer.num_epochs, 1)
+
+        example = assemble_pair_batch(self.notice_store, self.company_store, train_pairs[:b])
+        state, tx = create_train_state(
+            self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
+        )
+        num_params = _count_params(state.params)
+        self.log(f"model: {num_params:,} params; {steps_per_epoch} steps/epoch x {cfg.optimizer.num_epochs} epochs")
+
+        ckpt = None
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            ckpt = CheckpointManager(checkpoint_dir, cfg.checkpoint)
+            ckpt.save_config(cfg)
+            if resume:
+                resumed = ckpt.restore_latest(state)
+                if resumed is not None:
+                    state, last_epoch = resumed
+                    start_epoch = last_epoch + 1
+                    self.log(f"resumed from epoch {last_epoch} (step {int(state.step)})")
+
+        # device-resident stores; indices are the only per-step H2D traffic
+        n_store = device_store(self.notice_store)
+        c_store = device_store(self.company_store)
+        n_inner = max(min(n_inner, steps_per_epoch), 1)
+        scan_steps = make_scanned_train_steps(self.model, cfg, tx, n_inner)
+        single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
+
+        history: list[dict] = []
+        examples_per_sec = 0.0
+        train_loss = float("nan")
+        for epoch in range(start_epoch, cfg.optimizer.num_epochs):
+            t0 = time.perf_counter()
+            losses: list[float] = []
+            stack: list[np.ndarray] = []
+            seen = 0
+            for idx in epoch_batches(
+                train_pairs, b, shuffle=True, seed=cfg.data.shuffle_seed + epoch
+            ):
+                stack.append(idx.astype(np.int32))
+                if len(stack) == n_inner:
+                    state, metrics = scan_steps(
+                        state, jax.device_put(np.stack(stack)), n_store, c_store
+                    )
+                    stack.clear()
+                    seen += n_inner * b
+                    losses.append(metrics["loss"])
+            for idx in stack:  # remainder: single steps
+                state, metrics = single_step(
+                    state, jax.device_put(idx.astype(np.int32)), n_store, c_store
+                )
+                seen += b
+                losses.append(metrics["loss"][None] if metrics["loss"].ndim == 0 else metrics["loss"])
+            epoch_losses = np.concatenate([np.atleast_1d(np.asarray(l)) for l in losses])
+            train_loss = float(epoch_losses[-min(len(epoch_losses), 20):].mean())
+            dt = time.perf_counter() - t0
+            examples_per_sec = seen / dt
+
+            val = self.validate(state, val_pairs)
+            entry = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "examples_per_sec": examples_per_sec,
+                **{f"val_{k}": v for k, v in val.items()},
+            }
+            history.append(entry)
+            self.log(
+                f"epoch {epoch}: train_loss {train_loss:.4f} val_loss {val.get('loss', float('nan')):.4f} "
+                f"acc {val.get('accuracy', 0):.4f} mrr {val.get('mrr', 0):.4f} "
+                f"gap {val.get('similarity_gap', 0):.4f} ({examples_per_sec:,.0f} ex/s)"
+            )
+            if ckpt is not None:
+                ckpt.save_epoch(state, epoch, metric=val.get("loss"))
+
+        final_val = self.validate(state, val_pairs)
+        self.log("assessment: " + qualitative_assessment(final_val, b))
+
+        corpus = None
+        if corpus_eval and len(val_pairs):
+            corpus = self.corpus_eval(state, val_pairs)
+            self.log(
+                f"corpus retrieval over {corpus.corpus_size:,} companies: "
+                + " ".join(f"recall@{k}={v:.4f}" for k, v in corpus.recall.items())
+                + f" mrr={corpus.mrr:.4f}"
+            )
+
+        if ckpt is not None:
+            ckpt.finalize(state)
+        if cfg.results_csv:
+            val_out = dict(final_val)
+            if corpus is not None:
+                val_out.update({f"corpus_recall@{k}": v for k, v in corpus.recall.items()})
+            append_result(
+                cfg.results_csv,
+                run_info={
+                    "epochs": cfg.optimizer.num_epochs,
+                    "batch_size": b,
+                    "learning_rate": cfg.optimizer.learning_rate,
+                    "embedding_dim": cfg.model.final_embedding_dim,
+                    "num_params": num_params,
+                    "examples_per_sec": f"{examples_per_sec:.0f}",
+                },
+                val_metrics=val_out,
+                train_loss=train_loss,
+            )
+        return TrainResult(
+            state=state,
+            history=history,
+            final_val=final_val,
+            corpus=corpus,
+            examples_per_sec=examples_per_sec,
+            num_params=num_params,
+        )
+
+    def validate(self, state, val_pairs: np.ndarray) -> dict[str, float]:
+        b = self.cfg.data.batch_size
+        batches = (
+            assemble_pair_batch(self.notice_store, self.company_store, idx)
+            for idx in epoch_batches(val_pairs, b, shuffle=False)
+        )
+        return self.evaluator.evaluate(state, batches)
+
+    def corpus_eval(self, state, val_pairs: np.ndarray, ks: tuple[int, ...] = (10, 100)):
+        """Rank each val notice's paired company against the full corpus."""
+        corpus_emb = self.evaluator.encode_corpus(
+            state, self.company_store.dense, self.company_store.cat_ids, side="company"
+        )
+        q_rows = val_pairs[:, 0]
+        query_emb = self.evaluator.encode_corpus(
+            state,
+            self.notice_store.dense[q_rows],
+            self.notice_store.cat_ids[q_rows],
+            side="notice",
+        )
+        return corpus_retrieval_eval(query_emb, corpus_emb, val_pairs[:, 1], ks=ks)

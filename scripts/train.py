@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Training CLI — the reference's single entry point, re-done typed.
+
+Reference: scripts/train.py:78-134 (monolithic config dict + main()).
+Here every hyperparameter lives in the typed TrainConfig (JSON-serializable);
+the CLI overrides the common ones and supports --resume.
+
+Data sources:
+  --synthetic           planted-cluster synthetic dataset (hermetic)
+  --data-dir DIR        parquet stores: notice.parquet / company.parquet /
+                        pairs.parquet (+ schema.json)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=Path, help="TrainConfig JSON")
+    p.add_argument("--synthetic", action="store_true", help="use synthetic dataset")
+    p.add_argument("--data-dir", type=Path, help="parquet dataset directory")
+    p.add_argument("--output-dir", type=Path, default=Path("output/models"))
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--learning-rate", type=float)
+    p.add_argument("--pair-limit", type=int)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-corpus-eval", action="store_true")
+    p.add_argument("--seed", type=int)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from jodalrob_twotower_tpu.config import TrainConfig
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig.from_json(args.config) if args.config else TrainConfig()
+    import dataclasses
+    if args.epochs is not None:
+        cfg = cfg.replace(optimizer=dataclasses.replace(cfg.optimizer, num_epochs=args.epochs))
+    if args.batch_size is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+    if args.learning_rate is not None:
+        cfg = cfg.replace(optimizer=dataclasses.replace(cfg.optimizer, learning_rate=args.learning_rate))
+    if args.pair_limit is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, pair_limit=args.pair_limit))
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
+
+    if args.synthetic or not args.data_dir:
+        from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+
+        print("data: synthetic planted-cluster dataset")
+        ds = make_synthetic_dataset(seed=cfg.seed)
+        schema = ds.schema
+        notice_store, company_store, pairs = ds.notice_store, ds.company_store, ds.pairs
+    else:
+        from jodalrob_twotower_tpu.data.feature_store import FeatureStore
+        from jodalrob_twotower_tpu.data.parquet_dataset import load_pairs_parquet
+        from jodalrob_twotower_tpu.schema import TwoTowerSchema
+
+        schema = TwoTowerSchema.from_json(args.data_dir / "schema.json")
+        notice_store = FeatureStore.from_parquet(schema.notice, args.data_dir / "notice.parquet")
+        company_store = FeatureStore.from_parquet(schema.company, args.data_dir / "company.parquet")
+        pairs = load_pairs_parquet(
+            args.data_dir / "pairs.parquet", notice_store, company_store
+        )
+        print(f"data: {args.data_dir} ({len(pairs):,} pairs)")
+
+    if cfg.data.pair_limit:
+        pairs = pairs[: cfg.data.pair_limit]
+    rng = np.random.default_rng(cfg.data.shuffle_seed)
+    perm = rng.permutation(len(pairs))
+    n_test = int(round(len(pairs) * cfg.data.test_split))
+    train_pairs, val_pairs = pairs[perm[n_test:]], pairs[perm[:n_test]]
+    print(f"pairs: {len(train_pairs):,} train / {len(val_pairs):,} val")
+
+    trainer = Trainer(cfg, schema, notice_store, company_store)
+    result = trainer.train(
+        train_pairs,
+        val_pairs,
+        checkpoint_dir=args.output_dir,
+        resume=args.resume,
+        corpus_eval=not args.no_corpus_eval,
+    )
+    print(f"done: {result.examples_per_sec:,.0f} examples/s, results appended to {cfg.results_csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,208 @@
+"""Trainer driver, evaluator, checkpointing, ledger, CLI — end to end."""
+
+import json
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu.config import (
+    CheckpointConfig,
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from jodalrob_twotower_tpu.data.parquet_dataset import load_pairs_parquet, save_dataset
+from jodalrob_twotower_tpu.evaluation.evaluator import (
+    corpus_retrieval_eval,
+    demonstrate_predictions,
+    qualitative_assessment,
+)
+from jodalrob_twotower_tpu.train.checkpoint import CheckpointManager
+from jodalrob_twotower_tpu.train.ledger import append_result, read_results
+from jodalrob_twotower_tpu.train.trainer import Trainer
+
+
+def _cfg(tmp_path, epochs=2, batch=64):
+    return TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8,
+            dense_projection_dim=16,
+            tower_hidden_dims=(32, 16),
+            final_embedding_dim=8,
+            dropout_rate=0.0,
+            compute_dtype="float32",
+        ),
+        loss=LossConfig(temperature=0.1),
+        optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=epochs),
+        data=DataConfig(batch_size=batch, test_split=0.2),
+        checkpoint=CheckpointConfig(keep_n=2),
+        results_csv=str(tmp_path / "train_results.csv"),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_result(tiny_dataset, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainer")
+    ds = tiny_dataset
+    cfg = _cfg(tmp)
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
+    tr, va = ds.split(0.2, seed=0)
+    result = trainer.train(tr, va, checkpoint_dir=tmp / "ckpt", corpus_eval=True)
+    return tmp, cfg, ds, trainer, result
+
+
+def test_training_learns(trained_result):
+    _, _, _, _, result = trained_result
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+    assert result.final_val["accuracy"] > 3.0 / 64
+
+
+def test_corpus_eval_reasonable(trained_result):
+    _, _, ds, _, result = trained_result
+    corpus = result.corpus
+    assert corpus is not None
+    assert corpus.corpus_size == len(ds.company_store)
+    # planted clusters: top-100 of 512 should contain the positive often
+    assert corpus.recall[100] > 0.4
+    assert corpus.recall[10] <= corpus.recall[100]
+    assert 0.0 < corpus.mrr <= 1.0
+
+
+def test_ledger_written(trained_result):
+    tmp, cfg, _, _, result = trained_result
+    rows = read_results(cfg.results_csv)
+    assert len(rows) == 1
+    row = rows[0]
+    assert float(row["val_accuracy"]) == pytest.approx(result.final_val["accuracy"], abs=1e-5)
+    assert row["recall_at_5"] != ""  # the reference's CSV bug, fixed
+    assert row["corpus_recall_at_10"] != ""
+    assert int(row["num_params"]) == result.num_params
+
+
+def test_checkpoints_and_restore(trained_result):
+    tmp, cfg, ds, trainer, result = trained_result
+    ckpt = CheckpointManager(tmp / "ckpt", cfg.checkpoint)
+    names = ckpt.available()
+    assert "best" in names and "final" in names and "weights" in names
+    assert any(n.startswith("epoch_") for n in names)
+
+    # restore into a fresh state: metrics must match the trained state
+    import jax
+
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.train.train_step import create_train_state
+
+    tr, va = ds.split(0.2, seed=0)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:64])
+    fresh, _ = create_train_state(trainer.model, cfg, jax.random.PRNGKey(99), example, 10)
+    restored = ckpt.restore("final", fresh)
+    m_trained = trainer.validate(result.state, va[:256])
+    m_restored = trainer.validate(restored, va[:256])
+    assert m_restored["loss"] == pytest.approx(m_trained["loss"], rel=1e-6)
+    assert int(restored.step) == int(result.state.step)
+
+
+def test_resume_continues(trained_result):
+    tmp, cfg, ds, _, result = trained_result
+    tr, va = ds.split(0.2, seed=0)
+    cfg2 = cfg.replace(
+        optimizer=cfg.optimizer.__class__(
+            **{**cfg.optimizer.__dict__, "num_epochs": 3}
+        )
+    )
+    trainer2 = Trainer(cfg2, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
+    r2 = trainer2.train(tr, va, checkpoint_dir=tmp / "ckpt", resume=True, corpus_eval=False)
+    # resumed at epoch 2, ran exactly one more epoch
+    assert [h["epoch"] for h in r2.history] == [2]
+    assert int(r2.state.step) > int(result.state.step)
+
+
+def test_epoch_pruning(trained_result):
+    tmp, cfg, _, _, _ = trained_result
+    ckpt = CheckpointManager(tmp / "ckpt", cfg.checkpoint)
+    epochs = [n for n in ckpt.available() if n.startswith("epoch_")]
+    assert len(epochs) <= cfg.checkpoint.keep_n
+
+
+def test_qualitative_assessment():
+    s = qualitative_assessment({"accuracy": 0.5, "similarity_gap": 0.5}, 64)
+    assert "excellent" in s
+    s = qualitative_assessment({"accuracy": 1 / 64, "similarity_gap": 0.0}, 64)
+    assert "random" in s
+
+
+def test_demonstrate_predictions(rng):
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    c = rng.normal(size=(20, 8)).astype(np.float32)
+    out = demonstrate_predictions(q, c, k=5, corpus_keys=[f"co_{i}" for i in range(20)])
+    assert len(out) == 3 and len(out[0]["top_k"]) == 5
+    scores = [e["score"] for e in out[0]["top_k"]]
+    assert scores == sorted(scores, reverse=True)
+    best = int(np.argmax(q[0] @ c.T))
+    assert out[0]["top_k"][0]["candidate"] == f"co_{best}"
+
+
+def test_parquet_dataset_roundtrip(tiny_dataset, tmp_path):
+    ds = tiny_dataset
+    d = save_dataset(tmp_path / "data", ds.schema, ds.notice_store, ds.company_store, ds.pairs[:500])
+    from jodalrob_twotower_tpu.data.feature_store import FeatureStore
+    from jodalrob_twotower_tpu.schema import TwoTowerSchema
+
+    schema = TwoTowerSchema.from_json(d / "schema.json")
+    assert schema == ds.schema
+    ns = FeatureStore.from_parquet(schema.notice, d / "notice.parquet")
+    np.testing.assert_allclose(ns.dense, ds.notice_store.dense, rtol=1e-6)
+    np.testing.assert_array_equal(ns.cat_ids, ds.notice_store.cat_ids)
+    cs = FeatureStore.from_parquet(schema.company, d / "company.parquet")
+    pairs = load_pairs_parquet(d / "pairs.parquet", ns, cs)
+    np.testing.assert_array_equal(pairs, ds.pairs[:500])
+
+
+def test_cli_end_to_end(tmp_path):
+    """The CLI driver runs a tiny synthetic training to completion."""
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=4,
+            dense_projection_dim=8,
+            tower_hidden_dims=(16, 8),
+            final_embedding_dim=8,
+            dropout_rate=0.0,
+            compute_dtype="float32",
+        ),
+        optimizer=OptimizerConfig(num_epochs=1),
+        data=DataConfig(batch_size=64, pair_limit=2000),
+        results_csv=str(tmp_path / "results.csv"),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/train.py",
+            "--config",
+            str(cfg_path),
+            "--synthetic",
+            "--output-dir",
+            str(tmp_path / "out"),
+            "--no-corpus-eval",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "done:" in proc.stdout
+    assert (tmp_path / "results.csv").exists()
+    assert (tmp_path / "out" / "final").exists()
