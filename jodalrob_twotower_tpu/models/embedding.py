@@ -42,12 +42,18 @@ class EmbeddingCollection(nn.Module):
     """One embedding table row-block per categorical feature, unified.
 
     Call with int32 ids ``[B, K]`` -> embeddings ``[B, K * embed_dim]``.
+
+    ``lookup_fn`` optionally overrides the row gather with a custom
+    implementation, e.g. the explicit shard_map all-to-all exchange
+    (parallel/sharded_embedding.py); signature (table [R,D], rows [B,K]) ->
+    [B, K, D].
     """
 
     vocab_sizes: tuple[int, ...]
     embed_dim: int
     use_pallas: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    lookup_fn: object | None = None
 
     def setup(self) -> None:
         offsets, total_rows = table_layout(self.vocab_sizes)
@@ -67,6 +73,9 @@ class EmbeddingCollection(nn.Module):
             )
         ids = jnp.clip(cat_ids, 0, self._vocabs[None, :] - 1)
         rows = ids + self._offsets[None, :]
-        emb = embedding_lookup(self.table, rows, use_pallas=self.use_pallas)
+        if self.lookup_fn is not None:
+            emb = self.lookup_fn(self.table, rows)
+        else:
+            emb = embedding_lookup(self.table, rows, use_pallas=self.use_pallas)
         b, k = cat_ids.shape
         return emb.reshape(b, k * self.embed_dim)

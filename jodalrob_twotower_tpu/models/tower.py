@@ -35,6 +35,7 @@ class Tower(nn.Module):
     schema: SideSchema
     config: ModelConfig
     use_pallas_lookup: bool = False
+    lookup_fn: object | None = None  # custom embedding lookup (sharded path)
 
     @nn.compact
     def __call__(self, batch: TowerBatch, *, train: bool = False) -> jax.Array:
@@ -68,6 +69,7 @@ class Tower(nn.Module):
                 vocab_sizes=self.schema.vocab_sizes,
                 embed_dim=cfg.categorical_embedding_dim,
                 use_pallas=self.use_pallas_lookup,
+                lookup_fn=self.lookup_fn,
                 name="embeddings",
             )(batch.cat_ids)
             parts.append(emb.astype(compute_dtype))

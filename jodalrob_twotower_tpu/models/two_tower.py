@@ -24,13 +24,16 @@ class TwoTowerModel(nn.Module):
     schema: TwoTowerSchema
     config: ModelConfig
     use_pallas_lookup: bool = False
+    lookup_fn: object | None = None  # custom embedding lookup (sharded path)
 
     def setup(self) -> None:
         self.notice_tower = Tower(
-            self.schema.notice, self.config, self.use_pallas_lookup, name="notice_tower"
+            self.schema.notice, self.config, self.use_pallas_lookup,
+            self.lookup_fn, name="notice_tower"
         )
         self.company_tower = Tower(
-            self.schema.company, self.config, self.use_pallas_lookup, name="company_tower"
+            self.schema.company, self.config, self.use_pallas_lookup,
+            self.lookup_fn, name="company_tower"
         )
 
     def __call__(self, batch: PairBatch, *, train: bool = False):

@@ -71,7 +71,9 @@ class Trainer:
         self.schema = schema
         self.notice_store = notice_store
         self.company_store = company_store
-        self.model = TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup)
+        from jodalrob_twotower_tpu.models import build_model
+
+        self.model = build_model(schema, cfg, None)
         self.log = log_fn
         self.evaluator = Evaluator(self.model, cfg)
 
