@@ -64,8 +64,17 @@ class FeatureStore:
         return np.fromiter((m[k] for k in keys), dtype=np.int64, count=len(keys))
 
     def gather(self, rows: np.ndarray) -> TowerBatch:
-        """Assemble a TowerBatch for the given row indices (numpy path)."""
-        return TowerBatch(dense=self.dense[rows], cat_ids=self.cat_ids[rows])
+        """Assemble a TowerBatch for the given row indices.
+
+        Uses the native multithreaded gather when available (numpy's fancy
+        indexing is single-threaded; the batch assembly memcpy was the
+        reference's documented host bottleneck, README.md:31-57)."""
+        from jodalrob_twotower_tpu import native
+
+        return TowerBatch(
+            dense=native.gather_rows(self.dense, rows),
+            cat_ids=native.gather_rows(self.cat_ids, rows),
+        )
 
     # -- construction ---------------------------------------------------------
     @classmethod

@@ -34,10 +34,20 @@ def assemble_pair_batch(
     company_store: FeatureStore,
     pairs: np.ndarray,
 ) -> PairBatch:
-    """Gather one aligned batch. pairs: int64 [B, 2] rows into the stores."""
+    """Gather one aligned batch. pairs: int64 [B, 2] rows into the stores.
+
+    One native thread-pool pass assembles all four matrices (numpy fallback
+    inside when the toolchain is absent)."""
+    from jodalrob_twotower_tpu import native
+
+    n_dense, n_cat, c_dense, c_cat = native.gather_pair_batch(
+        notice_store.dense, notice_store.cat_ids,
+        company_store.dense, company_store.cat_ids,
+        pairs[:, 0], pairs[:, 1],
+    )
     return PairBatch(
-        notice=notice_store.gather(pairs[:, 0]),
-        company=company_store.gather(pairs[:, 1]),
+        notice=TowerBatch(dense=n_dense, cat_ids=n_cat),
+        company=TowerBatch(dense=c_dense, cat_ids=c_cat),
     )
 
 

@@ -1,0 +1,117 @@
+"""Native gather library + TFRecord IO."""
+
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu import native
+from jodalrob_twotower_tpu.io.tfrecord import (
+    TFRecordReader,
+    TFRecordWriter,
+    decode_example,
+    encode_example,
+    inspect_tfrecord,
+    table_to_tfrecord,
+)
+
+
+def test_native_lib_builds():
+    assert native.lib() is not None, "g++ toolchain present but native build failed"
+
+
+def test_gather_rows_matches_numpy(rng):
+    src = rng.normal(size=(1000, 37)).astype(np.float32)
+    rows = rng.integers(0, 1000, size=513)
+    np.testing.assert_array_equal(native.gather_rows(src, rows), src[rows])
+    # int32 matrix path
+    src_i = rng.integers(0, 100, size=(500, 8)).astype(np.int32)
+    np.testing.assert_array_equal(native.gather_rows(src_i, rows % 500), src_i[rows % 500])
+    # empty batch
+    assert native.gather_rows(src, np.empty(0, np.int64)).shape == (0, 37)
+
+
+def test_gather_pair_batch_matches_numpy(rng):
+    nd = rng.normal(size=(300, 16)).astype(np.float32)
+    nc = rng.integers(0, 9, size=(300, 4)).astype(np.int32)
+    cd = rng.normal(size=(200, 8)).astype(np.float32)
+    cc = rng.integers(0, 9, size=(200, 2)).astype(np.int32)
+    nr = rng.integers(0, 300, size=128)
+    cr = rng.integers(0, 200, size=128)
+    o = native.gather_pair_batch(nd, nc, cd, cc, nr, cr)
+    np.testing.assert_array_equal(o[0], nd[nr])
+    np.testing.assert_array_equal(o[1], nc[nr])
+    np.testing.assert_array_equal(o[2], cd[cr])
+    np.testing.assert_array_equal(o[3], cc[cr])
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vectors for CRC32C
+    assert native.crc32c(b"") == 0
+    assert native.crc32c(b"123456789") == 0xE3069283
+    assert native.crc32c(bytes(32)) == 0x8A9136AA
+    # native and python fallback agree
+    data = bytes(range(256)) * 3 + b"tail"
+    assert native.crc32c(data) == native._crc32c_py(data)
+    # streaming (crc chaining) equals one-shot
+    if native.lib() is not None:
+        part = native.crc32c(b"12345")
+        assert native.crc32c(b"6789", part) == 0xE3069283
+
+
+def test_example_roundtrip():
+    ex = {
+        "name": b"notice-42",
+        "price": [1.5, -2.25, 0.0],
+        "region": [3, -7, 1 << 40],
+        "title": "hello world",
+    }
+    data = encode_example(ex)
+    out = decode_example(data)
+    assert out["name"] == [b"notice-42"]
+    np.testing.assert_allclose(out["price"], ex["price"])
+    assert out["region"] == ex["region"]
+    assert out["title"] == [b"hello world"]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_tfrecord_roundtrip(tmp_path, compress, rng):
+    path = tmp_path / ("x.tfrecord" + (".gz" if compress else ""))
+    cols = {
+        "id": np.array([f"k{i}" for i in range(10)]),
+        "vec": rng.normal(size=(10, 5)).astype(np.float32),
+        "cat": rng.integers(0, 9, size=10).astype(np.int64),
+    }
+    n = table_to_tfrecord(path, cols, compress=compress)
+    assert n == 10
+    back = list(TFRecordReader(path).examples())
+    assert len(back) == 10
+    assert back[3]["id"] == [b"k3"]
+    np.testing.assert_allclose(back[3]["vec"], cols["vec"][3], rtol=1e-6)
+    assert back[3]["cat"] == [int(cols["cat"][3])]
+    info = inspect_tfrecord(path, limit=2)
+    assert info["count"] == 10 and len(info["preview"]) == 2
+
+
+def test_tfrecord_corruption_detected(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    with TFRecordWriter(path) as w:
+        w.write(b"hello records")
+    raw = bytearray(path.read_bytes())
+    raw[14] ^= 0xFF  # flip a payload byte
+    path.write_bytes(bytes(raw))
+    with pytest.raises(IOError, match="corrupt"):
+        list(TFRecordReader(path))
+
+
+def test_tfrecord_tensorflow_compat(tmp_path):
+    """If TF is importable, our records must parse with tf.train.Example."""
+    tf = pytest.importorskip("tensorflow")
+    path = tmp_path / "compat.tfrecord"
+    with TFRecordWriter(path) as w:
+        w.write_example({"a": [1.0, 2.0], "b": [3], "c": b"bytes"})
+    recs = list(tf.data.TFRecordDataset(str(path)).as_numpy_iterator())
+    assert len(recs) == 1
+    ex = tf.train.Example()
+    ex.ParseFromString(recs[0])
+    assert list(ex.features.feature["a"].float_list.value) == [1.0, 2.0]
+    assert list(ex.features.feature["b"].int64_list.value) == [3]
+    assert ex.features.feature["c"].bytes_list.value[0] == b"bytes"
