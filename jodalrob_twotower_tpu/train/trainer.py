@@ -121,6 +121,7 @@ class Trainer:
         history: list[dict] = []
         examples_per_sec = 0.0
         train_loss = float("nan")
+        first_dispatch = True  # first dispatch includes XLA compile: excluded
         for epoch in range(start_epoch, cfg.optimizer.num_epochs):
             t0 = time.perf_counter()
             losses: list[float] = []
@@ -135,7 +136,13 @@ class Trainer:
                         state, jax.device_put(np.stack(stack)), n_store, c_store
                     )
                     stack.clear()
-                    seen += n_inner * b
+                    if first_dispatch:
+                        float(np.asarray(metrics["loss"])[-1])  # wait for compile
+                        t0 = time.perf_counter()
+                        seen = 0  # this dispatch's examples+time both excluded
+                        first_dispatch = False
+                    else:
+                        seen += n_inner * b
                     losses.append(metrics["loss"])
             for idx in stack:  # remainder: single steps
                 state, metrics = single_step(

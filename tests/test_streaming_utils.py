@@ -1,0 +1,126 @@
+"""Parquet pair streaming, multi-host helpers, profiling utilities."""
+
+import json
+
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu.data.parquet_dataset import save_pairs_parquet
+from jodalrob_twotower_tpu.data.parquet_stream import (
+    stream_pair_chunks,
+    streaming_index_batches,
+)
+from jodalrob_twotower_tpu.parallel.distributed import (
+    host_shard_pairs,
+    initialize,
+    process_info,
+)
+from jodalrob_twotower_tpu.utils.profiling import (
+    MetricsLogger,
+    StepTimer,
+    device_flops_estimate,
+    utilization,
+)
+
+
+@pytest.fixture()
+def pair_file(tiny_dataset, tmp_path):
+    ds = tiny_dataset
+    pairs = ds.pairs[:2500]
+    save_pairs_parquet(
+        tmp_path / "pairs.parquet",
+        ds.notice_store.keys[pairs[:, 0]],
+        ds.company_store.keys[pairs[:, 1]],
+    )
+    return tmp_path / "pairs.parquet", pairs
+
+
+def test_stream_pair_chunks_joins_keys(tiny_dataset, pair_file):
+    ds = tiny_dataset
+    path, pairs = pair_file
+    chunks = list(
+        stream_pair_chunks(path, ds.notice_store, ds.company_store, chunk_rows=1000)
+    )
+    assert [len(c) for c in chunks] == [1000, 1000, 500]
+    np.testing.assert_array_equal(np.concatenate(chunks), pairs)
+
+
+def test_stream_host_sharding(tiny_dataset, pair_file):
+    ds = tiny_dataset
+    path, pairs = pair_file
+    host_chunks = [
+        list(
+            stream_pair_chunks(
+                path, ds.notice_store, ds.company_store,
+                chunk_rows=500, host_index=i, host_count=2,
+            )
+        )
+        for i in range(2)
+    ]
+    total = sum(len(c) for chunks in host_chunks for c in chunks)
+    assert total == len(pairs)  # chunks partition across hosts
+    # round-robin by chunk: host 0 gets even chunks, host 1 odd chunks
+    np.testing.assert_array_equal(host_chunks[0][0], pairs[0:500])
+    np.testing.assert_array_equal(host_chunks[1][0], pairs[500:1000])
+    np.testing.assert_array_equal(host_chunks[0][1], pairs[1000:1500])
+
+
+def test_streaming_index_batches_cover_all(tiny_dataset, pair_file):
+    ds = tiny_dataset
+    path, pairs = pair_file
+    batches = list(
+        streaming_index_batches(
+            stream_pair_chunks(path, ds.notice_store, ds.company_store, chunk_rows=700),
+            batch_size=128,
+            seed=1,
+            drop_remainder=False,
+        )
+    )
+    assert batches[0].dtype == np.int32 and batches[0].shape == (128, 2)
+    all_rows = np.concatenate(batches)
+    assert len(all_rows) == len(pairs)  # carry between chunks loses nothing
+    assert set(map(tuple, all_rows.astype(np.int64))) == set(map(tuple, pairs))
+
+
+def test_streaming_drop_remainder(tiny_dataset, pair_file):
+    ds = tiny_dataset
+    path, pairs = pair_file
+    batches = list(
+        streaming_index_batches(
+            stream_pair_chunks(path, ds.notice_store, ds.company_store, chunk_rows=700),
+            batch_size=128,
+        )
+    )
+    assert all(b.shape == (128, 2) for b in batches)
+    assert len(batches) == len(pairs) // 128
+
+
+def test_distributed_single_process_noops():
+    initialize()  # no-op, must not raise
+    idx, count = process_info()
+    assert (idx, count) == (0, 1)
+    pairs = np.arange(20).reshape(10, 2)
+    np.testing.assert_array_equal(host_shard_pairs(pairs), pairs)
+
+
+def test_step_timer_and_metrics_logger(tmp_path):
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        t.stop(fetch=np.ones(3))
+    s = t.summary(batch_size=128)
+    assert s["steps"] == 3 and s["examples_per_sec"] > 0
+
+    log = MetricsLogger(tmp_path / "m.jsonl")
+    log.log(0, {"loss": np.float32(1.5)}, epoch=0)
+    log.log(1, {"loss": 1.2}, epoch=0)
+    log.close()
+    rows = MetricsLogger.read(tmp_path / "m.jsonl")
+    assert len(rows) == 2 and rows[0]["loss"] == 1.5 and rows[1]["step"] == 1
+
+
+def test_device_flops_and_utilization():
+    peak = device_flops_estimate(dtype="float32", n=256)
+    assert peak > 1e9  # even CPU does > 1 GFLOP/s
+    u = utilization(step_time_s=1.0, flops_per_step=peak / 2, dtype="float32", n=256)
+    assert u == pytest.approx(0.5, rel=1e-6)
