@@ -1,0 +1,148 @@
+"""PostgreSQL access shim (optional) + pure SQL query building.
+
+Capability parity with the reference L0 (data/database_connector.py,
+data/query_helper.py): engine from env vars, used-column SELECT building
+driven by the metadata schema, chunked streaming reads, PK lookups, and a
+table -> parquet export that feeds the framework's parquet data plane.
+
+The framework's data plane is parquet (SURVEY.md §7); this shim exists so
+users coming from the reference can pull their notice/company/pair tables
+out of PostgreSQL once. SQLAlchemy/psycopg are NOT required by anything
+else and import lazily here; query *construction* is pure string logic and
+fully testable without a database.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterable, Iterator, Mapping, Sequence
+
+import numpy as np
+
+# Reference PK map (data/query_helper.py:23-27).
+DEFAULT_PK = {
+    "notice": ("bidntceno", "bidntceord"),
+    "company": ("bizno",),
+    "bid_two_tower": ("bidntceno", "bidntceord", "bizno"),
+}
+
+
+def _quote_ident(name: str) -> str:
+    if not name.replace("_", "").isalnum():
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return f'"{name}"'
+
+
+def build_select(
+    table: str,
+    columns: Sequence[str],
+    *,
+    where: str | None = None,
+    order_by: Sequence[str] = (),
+    limit: int | None = None,
+    offset: int | None = None,
+) -> str:
+    """Used-column SELECT (reference query_helper.py:33,70 capability)."""
+    cols = ", ".join(_quote_ident(c) for c in columns) if columns else "*"
+    sql = f"SELECT {cols} FROM {_quote_ident(table)}"
+    if where:
+        sql += f" WHERE {where}"
+    if order_by:
+        sql += " ORDER BY " + ", ".join(_quote_ident(c) for c in order_by)
+    if limit is not None:
+        sql += f" LIMIT {int(limit)}"
+    if offset is not None:
+        sql += f" OFFSET {int(offset)}"
+    return sql
+
+
+def build_pk_lookup(table: str, pk_columns: Sequence[str], n_keys: int) -> str:
+    """Parameterized WHERE-IN over (composite) PKs (query_helper.py:91)."""
+    if len(pk_columns) == 1:
+        placeholders = ", ".join(["%s"] * n_keys)
+        return (
+            f"SELECT * FROM {_quote_ident(table)} "
+            f"WHERE {_quote_ident(pk_columns[0])} IN ({placeholders})"
+        )
+    tuple_ph = "(" + ", ".join(["%s"] * len(pk_columns)) + ")"
+    placeholders = ", ".join([tuple_ph] * n_keys)
+    pk = "(" + ", ".join(_quote_ident(c) for c in pk_columns) + ")"
+    return f"SELECT * FROM {_quote_ident(table)} WHERE {pk} IN ({placeholders})"
+
+
+def connection_url(env: Mapping[str, str] | None = None) -> str:
+    """postgres URL from the reference's env-var surface
+    (database_connector.py:14-44): DB_HOST/DB_PORT/DB_NAME/DB_USER/DB_PASSWORD."""
+    env = env if env is not None else os.environ
+    host = env.get("DB_HOST", "localhost")
+    port = env.get("DB_PORT", "5432")
+    name = env.get("DB_NAME", "postgres")
+    user = env.get("DB_USER", "postgres")
+    password = env.get("DB_PASSWORD", "")
+    auth = f"{user}:{password}@" if password else f"{user}@"
+    return f"postgresql+psycopg://{auth}{host}:{port}/{name}"
+
+
+class DatabaseConnector:
+    """Lazy SQLAlchemy engine with chunked reads (optional dependency)."""
+
+    def __init__(self, url: str | None = None, *, pool_pre_ping: bool = True):
+        try:
+            import sqlalchemy
+        except ImportError as e:
+            raise ImportError(
+                "the SQL shim needs sqlalchemy + a postgres driver "
+                "(pip install sqlalchemy psycopg) - the rest of the framework "
+                "does not; use the parquet data plane instead"
+            ) from e
+        self._sa = sqlalchemy
+        self.engine = sqlalchemy.create_engine(
+            url or connection_url(), pool_pre_ping=pool_pre_ping, pool_recycle=1800
+        )
+
+    def iter_chunks(
+        self, sql: str, *, chunk_rows: int = 50_000
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Stream a query as column dicts (reference
+        database_connector.py:81 chunked iteration)."""
+        with self.engine.connect() as conn:
+            result = conn.execution_options(yield_per=chunk_rows).execute(
+                self._sa.text(sql)
+            )
+            keys = list(result.keys())
+            for partition in result.partitions(chunk_rows):
+                rows = list(partition)
+                yield {
+                    k: np.asarray([r[i] for r in rows], dtype=object)
+                    for i, k in enumerate(keys)
+                }
+
+    def export_table_to_parquet(
+        self,
+        table: str,
+        columns: Sequence[str],
+        out_path: str | Path,
+        *,
+        chunk_rows: int = 50_000,
+        where: str | None = None,
+    ) -> int:
+        """table -> single parquet file via chunked reads (replaces the
+        reference's convert_to_parquet.py against the new data plane)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sql = build_select(table, columns, where=where)
+        writer = None
+        total = 0
+        try:
+            for chunk in self.iter_chunks(sql, chunk_rows=chunk_rows):
+                tbl = pa.table({k: pa.array(v.tolist()) for k, v in chunk.items()})
+                if writer is None:
+                    writer = pq.ParquetWriter(str(out_path), tbl.schema)
+                writer.write_table(tbl)
+                total += tbl.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return total

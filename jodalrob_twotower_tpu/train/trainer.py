@@ -130,6 +130,8 @@ class Trainer:
             for idx in epoch_batches(
                 train_pairs, b, shuffle=True, seed=cfg.data.shuffle_seed + epoch
             ):
+                if first_dispatch and not stack:
+                    self.verify_pair_alignment(idx[: min(len(idx), 256)], train_pairs)
                 stack.append(idx.astype(np.int32))
                 if len(stack) == n_inner:
                     state, metrics = scan_steps(
@@ -210,6 +212,19 @@ class Trainer:
             examples_per_sec=examples_per_sec,
             num_params=num_params,
         )
+
+    @staticmethod
+    def verify_pair_alignment(batch_idx: np.ndarray, pairs: np.ndarray) -> None:
+        """One-time sanity check that every row of an index batch is a known
+        positive pair (the reference ran an equivalent alignment check on its
+        first batch, two_tower_train_task.py:253-293)."""
+        known = set(map(tuple, pairs.tolist()))
+        bad = [tuple(r) for r in batch_idx.tolist() if tuple(r) not in known]
+        if bad:
+            raise AssertionError(
+                f"{len(bad)}/{len(batch_idx)} batch rows are not known positive "
+                f"pairs (first: {bad[0]}) - input pipeline misaligned"
+            )
 
     def validate(self, state, val_pairs: np.ndarray) -> dict[str, float]:
         b = self.cfg.data.batch_size
