@@ -22,20 +22,31 @@ import numpy as np
 
 from jodalrob_twotower_tpu.ops.embedding_lookup import embedding_lookup
 
-# Pad the unified table's row count so any mesh axis up to this size can
-# row-shard it evenly.
+# Each feature's row block is padded to a multiple of 128 rows. This (a)
+# lets any mesh axis up to 128 row-shard the table evenly and (b) makes
+# every 128-row tile belong to exactly ONE feature, which the Pallas
+# dense-vocab gradient kernel relies on (ops/embedding_grad.py). The waste
+# is < 128 rows per feature.
 ROW_ALIGNMENT = 128
 
 
 def table_layout(vocab_sizes: tuple[int, ...], row_alignment: int = ROW_ALIGNMENT):
-    """Compute (offsets, total_rows) for the unified table."""
+    """Compute (offsets, total_rows) for the unified table; every feature's
+    block starts at a row_alignment boundary."""
     offsets = np.zeros(len(vocab_sizes), dtype=np.int32)
     acc = 0
     for i, v in enumerate(vocab_sizes):
         offsets[i] = acc
-        acc += v
-    total = -(-max(acc, 1) // row_alignment) * row_alignment
-    return offsets, total
+        acc += -(-v // row_alignment) * row_alignment
+    return offsets, max(acc, row_alignment)
+
+
+def tile_feature_map(vocab_sizes: tuple[int, ...], row_alignment: int = ROW_ALIGNMENT):
+    """Static map tile_index -> owning feature for the aligned layout."""
+    out = []
+    for k, v in enumerate(vocab_sizes):
+        out.extend([k] * (-(-v // row_alignment)))
+    return np.asarray(out or [0], dtype=np.int32)
 
 
 class EmbeddingCollection(nn.Module):
@@ -54,11 +65,14 @@ class EmbeddingCollection(nn.Module):
     use_pallas: bool = False
     param_dtype: jnp.dtype = jnp.float32
     lookup_fn: object | None = None
+    # "auto" | "dense" | "scatter" - see config.ModelConfig.embedding_grad
+    grad_mode: str = "auto"
 
     def setup(self) -> None:
         offsets, total_rows = table_layout(self.vocab_sizes)
         self._offsets = jnp.asarray(offsets, jnp.int32)
         self._vocabs = jnp.asarray(np.asarray(self.vocab_sizes, np.int32))
+        self._total_rows = total_rows
         self.table = self.param(
             "table",
             nn.initializers.normal(stddev=1.0 / np.sqrt(self.embed_dim)),
@@ -75,7 +89,34 @@ class EmbeddingCollection(nn.Module):
         rows = ids + self._offsets[None, :]
         if self.lookup_fn is not None:
             emb = self.lookup_fn(self.table, rows)
+        elif self._dense_grad_active():
+            from jodalrob_twotower_tpu.ops.embedding_grad import make_dense_grad_lookup
+
+            lookup = make_dense_grad_lookup(
+                self._total_rows, tuple(tile_feature_map(self.vocab_sizes).tolist())
+            )
+            emb = lookup(self.table, rows)
         else:
             emb = embedding_lookup(self.table, rows, use_pallas=self.use_pallas)
         b, k = cat_ids.shape
         return emb.reshape(b, k * self.embed_dim)
+
+    # Above this many table rows the dense gradient (cost ∝ rows × batch)
+    # loses to the scatter; measured crossover is far above the bid-matching
+    # vocabs (33k rows: dense 4.0ms/step vs scatter 8.6ms/step at B=8192).
+    DENSE_GRAD_MAX_ROWS = 1 << 16
+
+    def _dense_grad_active(self) -> bool:
+        if self.grad_mode == "dense":
+            return True
+        if self.grad_mode == "scatter":
+            return False
+        # auto: the Pallas backward runs on single-device TPU backends with
+        # small-enough tables; the scatter transpose stays for CPU tests,
+        # huge tables, and sharded tables (a custom call cannot be
+        # partitioned by GSPMD).
+        return (
+            jax.default_backend() not in ("cpu",)
+            and jax.device_count() == 1
+            and self._total_rows <= self.DENSE_GRAD_MAX_ROWS
+        )

@@ -70,6 +70,7 @@ class Tower(nn.Module):
                 embed_dim=cfg.categorical_embedding_dim,
                 use_pallas=self.use_pallas_lookup,
                 lookup_fn=self.lookup_fn,
+                grad_mode=cfg.embedding_grad,
                 name="embeddings",
             )(batch.cat_ids)
             parts.append(emb.astype(compute_dtype))

@@ -15,11 +15,22 @@ from jodalrob_twotower_tpu.train.optimizer import rowwise_adagrad
 
 
 def test_table_layout_offsets():
+    # every feature block starts 128-aligned (dense-grad kernel invariant)
     offsets, total = table_layout((100, 50, 25), row_alignment=128)
-    np.testing.assert_array_equal(offsets, [0, 100, 150])
-    assert total == 256  # 175 rounded up to 128-multiple
+    np.testing.assert_array_equal(offsets, [0, 128, 256])
+    assert total == 384
     _, total_one = table_layout((1,), row_alignment=128)
     assert total_one == 128
+    offsets2, total2 = table_layout((1000, 200), row_alignment=128)
+    np.testing.assert_array_equal(offsets2, [0, 1024])
+    assert total2 == 1024 + 256
+
+    from jodalrob_twotower_tpu.models.embedding import tile_feature_map
+
+    np.testing.assert_array_equal(tile_feature_map((100, 50, 25)), [0, 1, 2])
+    np.testing.assert_array_equal(
+        tile_feature_map((1000, 200)), [0] * 8 + [1] * 2
+    )
 
 
 def test_xla_lookup_gathers_rows(rng):
@@ -47,22 +58,22 @@ def test_embedding_collection_forward_and_grads(rng):
     out = emb.apply(variables, ids)
     assert out.shape == (2, 8)
     table = variables["params"]["table"]
-    # feature 1 rows live at offset 50 in the unified table
-    np.testing.assert_array_equal(np.asarray(out[0, 4:]), np.asarray(table[50 + 29]))
+    # feature 1 rows live at the 128-aligned offset in the unified table
+    np.testing.assert_array_equal(np.asarray(out[0, 4:]), np.asarray(table[128 + 29]))
     np.testing.assert_array_equal(np.asarray(out[1, :4]), np.asarray(table[49]))
 
     # ids past each feature's vocab clamp inside that feature's range
     big = jnp.asarray([[500, 500]], jnp.int32)
     out_big = emb.apply(variables, big)
     np.testing.assert_array_equal(np.asarray(out_big[0, :4]), np.asarray(table[49]))
-    np.testing.assert_array_equal(np.asarray(out_big[0, 4:]), np.asarray(table[50 + 29]))
+    np.testing.assert_array_equal(np.asarray(out_big[0, 4:]), np.asarray(table[128 + 29]))
 
     # gradient is a scatter-add into exactly the touched rows
     def loss(params):
         return jnp.sum(emb.apply({"params": params}, ids) ** 2)
 
     g = jax.grad(loss)(variables["params"])["table"]
-    touched = {0, 49, 50 + 29, 50 + 0}
+    touched = {0, 49, 128 + 29, 128 + 0}
     nz_rows = set(np.flatnonzero(np.any(np.asarray(g) != 0, axis=1)).tolist())
     assert nz_rows == touched
 
