@@ -1,0 +1,170 @@
+"""Extended benchmark suite — one JSON object per line, all subsystems.
+
+`bench.py` stays the single headline line the driver records; this suite
+adds the other BASELINE.json configs as evidence:
+
+  train_ref_shape   — headline config (delegates to the same path)
+  train_scaled      — BASELINE config 3: 10M-row embedding space (dim 64),
+                      batch 8192, rowwise Adagrad, scatter grads
+  serving_exact     — brute-force MIPS QPS over a 100k corpus, k=100
+  serving_int8      — int8 MIPS QPS + recall vs exact
+  corpus_eval       — corpus recall@k evaluation wall time
+
+Usage: python bench_suite.py [names...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _emit(name: str, **fields) -> None:
+    print(json.dumps({"bench": name, **fields}), flush=True)
+
+
+def train_scaled() -> None:
+    """Scaled tables: 8 features x 1.25M vocab = 10M rows, dim 64."""
+    import jax
+
+    from jodalrob_twotower_tpu.config import (
+        LossConfig,
+        ModelConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.schema import (
+        CategoricalSpec,
+        NumericSpec,
+        SideSchema,
+        TwoTowerSchema,
+    )
+    from jodalrob_twotower_tpu.train.train_step import (
+        create_train_state,
+        device_store,
+        make_indexed_train_step,
+    )
+
+    vocab = 1_250_000
+    def side(table, pk):
+        return SideSchema(
+            table=table,
+            pk=pk,
+            numeric=tuple(NumericSpec(f"n{i}") for i in range(16)),
+            categorical=tuple(CategoricalSpec(f"c{i}", vocab) for i in range(8)),
+        )
+
+    schema = TwoTowerSchema(notice=side("notice", ("id",)), company=side("company", ("id",)))
+    cfg = TrainConfig(
+        model=ModelConfig(categorical_embedding_dim=64, dense_projection_dim=128,
+                          tower_hidden_dims=(512, 256), final_embedding_dim=128),
+        loss=LossConfig(use_fused_logits=True),
+        optimizer=OptimizerConfig(),  # rowwise adagrad on the tables
+    )
+    b = 8192
+    n_rows = 200_000
+    ds = make_synthetic_dataset(
+        schema, n_notices=n_rows, n_companies=n_rows, n_pairs=2 * b, n_clusters=64, seed=0
+    )
+    # ids must span the 1.25M vocab (synthetic generator stays in-cluster):
+    rng = np.random.default_rng(0)
+    ds.notice_store.cat_ids[:] = rng.integers(0, vocab, ds.notice_store.cat_ids.shape)
+    ds.company_store.cat_ids[:] = rng.integers(0, vocab, ds.company_store.cat_ids.shape)
+
+    model = TwoTowerModel(schema, cfg.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
+    table_rows = state.params["notice_tower"]["embeddings"]["table"].shape[0]
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    step = make_indexed_train_step(model, cfg, tx, donate=False, with_metrics=False)
+    idxs = [
+        jax.device_put(ds.pairs[rng.integers(0, 2 * b, size=b)].astype(np.int32))
+        for _ in range(8)
+    ]
+    state, m = step(state, idxs[0], n_store, c_store)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    n = 30
+    for i in range(n):
+        state, m = step(state, idxs[i % 8], n_store, c_store)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    _emit(
+        "train_scaled",
+        examples_per_sec=round(b / dt, 1),
+        step_ms=round(dt * 1e3, 2),
+        table_rows_per_tower=int(table_rows),
+        embedding_params=int(2 * table_rows * 64),
+        batch=b,
+    )
+
+
+def serving(kind: str) -> None:
+    import jax
+
+    from jodalrob_twotower_tpu.config import TrainConfig
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models import build_model
+    from jodalrob_twotower_tpu.serving.index import BruteForceIndex, Int8Index, recall_vs_exact
+    from jodalrob_twotower_tpu.serving.service import RetrievalService, qps_bench
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.train.train_step import create_train_state
+
+    cfg = TrainConfig()
+    ds = make_synthetic_dataset(n_notices=20_000, n_companies=100_000, n_pairs=10_000, seed=0)
+    model = build_model(ds.schema, cfg, None)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:256])
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 10)
+    svc = RetrievalService(model, cfg, state, ds.company_store, index_kind=kind)
+    out = qps_bench(svc, ds.notice_store, k=100, batch_size=1024, n_batches=10)
+    extra = {}
+    if kind == "int8":
+        ev = svc._evaluator
+        q = ev.encode_corpus(state, ds.notice_store.dense[:1024], ds.notice_store.cat_ids[:1024], side="notice")
+        corpus = svc.index  # int8
+        exact = BruteForceIndex(ev.encode_corpus(state, ds.company_store.dense, ds.company_store.cat_ids, side="company")).search(q, k=100)
+        extra["recall_vs_exact_at100"] = round(recall_vs_exact(corpus.search(q, k=100), exact), 4)
+    _emit(f"serving_{kind}", qps=round(out["qps"], 1), k=100,
+          corpus_size=out["corpus_size"], **extra)
+
+
+def corpus_eval() -> None:
+    import jax
+
+    from jodalrob_twotower_tpu.config import TrainConfig
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models import build_model
+    from jodalrob_twotower_tpu.train.train_step import create_train_state
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(results_csv="")
+    ds = make_synthetic_dataset(n_notices=20_000, n_companies=100_000, n_pairs=20_000, seed=0)
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:256])
+    state, _ = create_train_state(trainer.model, cfg, jax.random.PRNGKey(0), warm, 10)
+    t0 = time.perf_counter()
+    res = trainer.corpus_eval(state, ds.pairs[:8192])
+    dt = time.perf_counter() - t0
+    _emit("corpus_eval", queries=res.num_queries, corpus_size=res.corpus_size,
+          wall_s=round(dt, 2), recall_at_100_untrained=round(res.recall[100], 4))
+
+
+BENCHES = {
+    "train_scaled": train_scaled,
+    "serving_exact": lambda: serving("exact"),
+    "serving_int8": lambda: serving("int8"),
+    "corpus_eval": corpus_eval,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(BENCHES)
+    for name in names:
+        BENCHES[name]()

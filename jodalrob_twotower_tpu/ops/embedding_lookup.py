@@ -10,6 +10,14 @@ Clamp semantics: ids are clamped into ``[0, vocab)`` *per feature* before the
 table offset is added (never crash on out-of-range ids - reference behavior
 cat_embed.py:115-117). Clamping happens in the caller
 (models/embedding.py); this module gathers already-valid absolute rows.
+
+Measured on the bench chip (8192 rows from a [100k, 128] table): the Pallas
+DMA pipeline is correct (bit-equal) but ~3.7x slower than XLA's native
+gather (5.5ms vs 1.5ms) - row-granular DMAs cannot beat the fused gather.
+It stays as a validated reference for the DMA-pipeline pattern and for
+layouts XLA gathers poorly; the default path is XLA
+(MeshConfig.use_pallas_lookup=False). The kernel that actually wins on this
+workload is the dense-vocab gradient (ops/embedding_grad.py).
 """
 
 from __future__ import annotations
