@@ -33,6 +33,9 @@ _N_SPECIAL = 3
 @dataclasses.dataclass
 class CategoricalColumnConfig:
     rare_threshold: int = 1  # values with count < threshold collapse to RARE
+    # fractional alternative (reference meta configs use e.g. 0.001): the
+    # count threshold becomes ceil(fraction * n_rows) at fit time
+    rare_threshold_fraction: float | None = None
     max_vocab: int | None = None  # cap observed values (most frequent kept)
     null_flag: bool = True
     lowercase: bool = False
@@ -88,7 +91,13 @@ class CategoricalPreprocessor:
                 counts[s] = counts.get(s, 0) + 1
             # frequency-descending, then lexical for determinism
             items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            kept = [v for v, c in items if c >= cfg.rare_threshold]
+            threshold = cfg.rare_threshold
+            if cfg.rare_threshold_fraction is not None:
+                threshold = max(
+                    threshold,
+                    int(np.ceil(cfg.rare_threshold_fraction * len(np.asarray(table[col])))),
+                )
+            kept = [v for v, c in items if c >= threshold]
             if cfg.max_vocab is not None:
                 kept = kept[: cfg.max_vocab]
             vocab = {NULL_TOKEN: NULL_ID, RARE_TOKEN: RARE_ID, UNKNOWN_TOKEN: UNKNOWN_ID}

@@ -86,13 +86,25 @@ class Trainer:
         resume: bool = False,
         corpus_eval: bool = True,
         n_inner: int = 8,
+        batch_source=None,
+        steps_per_epoch: int | None = None,
     ) -> TrainResult:
+        """``batch_source(epoch) -> iterator of [B, 2] index batches``
+        overrides the default in-memory shuffled epochs (used by
+        :meth:`train_streaming`); ``steps_per_epoch`` then sizes the
+        warmup schedule."""
         cfg = self.cfg
         b = cfg.data.batch_size
-        steps_per_epoch = len(train_pairs) // b
+        if steps_per_epoch is None:
+            steps_per_epoch = len(train_pairs) // b
         total_steps = max(steps_per_epoch * cfg.optimizer.num_epochs, 1)
 
-        example = assemble_pair_batch(self.notice_store, self.company_store, train_pairs[:b])
+        example_rows = (
+            train_pairs[:b]
+            if len(train_pairs)
+            else np.asarray(next(iter(batch_source(0))), np.int64)
+        )
+        example = assemble_pair_batch(self.notice_store, self.company_store, example_rows)
         state, tx = create_train_state(
             self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
         )
@@ -127,10 +139,15 @@ class Trainer:
             losses: list[float] = []
             stack: list[np.ndarray] = []
             seen = 0
-            for idx in epoch_batches(
-                train_pairs, b, shuffle=True, seed=cfg.data.shuffle_seed + epoch
-            ):
-                if first_dispatch and not stack:
+            batch_iter = (
+                batch_source(epoch)
+                if batch_source is not None
+                else epoch_batches(
+                    train_pairs, b, shuffle=True, seed=cfg.data.shuffle_seed + epoch
+                )
+            )
+            for idx in batch_iter:
+                if first_dispatch and not stack and batch_source is None:
                     self.verify_pair_alignment(idx[: min(len(idx), 256)], train_pairs)
                 stack.append(idx.astype(np.int32))
                 if len(stack) == n_inner:
@@ -211,6 +228,47 @@ class Trainer:
             corpus=corpus,
             examples_per_sec=examples_per_sec,
             num_params=num_params,
+        )
+
+    def train_streaming(
+        self,
+        pair_files,
+        val_pairs: np.ndarray,
+        *,
+        steps_per_epoch: int,
+        host_index: int = 0,
+        host_count: int = 1,
+        chunk_rows: int = 1_000_000,
+        **train_kwargs,
+    ) -> TrainResult:
+        """Train from parquet pair files too large for host memory
+        (the reference's streaming modes; data/parquet_stream.py). Each
+        epoch re-streams the files with a fresh shuffle seed."""
+        from jodalrob_twotower_tpu.data.parquet_stream import (
+            stream_pair_chunks,
+            streaming_index_batches,
+        )
+
+        def source(epoch: int):
+            return streaming_index_batches(
+                stream_pair_chunks(
+                    pair_files,
+                    self.notice_store,
+                    self.company_store,
+                    chunk_rows=chunk_rows,
+                    host_index=host_index,
+                    host_count=host_count,
+                ),
+                self.cfg.data.batch_size,
+                seed=self.cfg.data.shuffle_seed + epoch,
+            )
+
+        return self.train(
+            np.empty((0, 2), np.int64),
+            val_pairs,
+            batch_source=source,
+            steps_per_epoch=steps_per_epoch,
+            **train_kwargs,
         )
 
     @staticmethod

