@@ -26,7 +26,7 @@ def _emit(name: str, **fields) -> None:
     print(json.dumps({"bench": name, **fields}), flush=True)
 
 
-def train_scaled() -> None:
+def train_scaled(sparse: bool = False) -> None:
     """Scaled tables: 8 features x 1.25M vocab = 10M rows, dim 64."""
     import jax
 
@@ -79,10 +79,20 @@ def train_scaled() -> None:
 
     model = TwoTowerModel(schema, cfg.model)
     warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
-    table_rows = state.params["notice_tower"]["embeddings"]["table"].shape[0]
+    if sparse:
+        from jodalrob_twotower_tpu.train.sparse_tables import (
+            create_sparse_train_state,
+            make_sparse_train_step,
+        )
+
+        state, tx = create_sparse_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
+        table_rows = state.notice_table.table.shape[0]
+        step = make_sparse_train_step(model, cfg, tx, 100, with_metrics=False)
+    else:
+        state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
+        table_rows = state.params["notice_tower"]["embeddings"]["table"].shape[0]
+        step = make_indexed_train_step(model, cfg, tx, with_metrics=False)
     n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
-    step = make_indexed_train_step(model, cfg, tx, donate=False, with_metrics=False)
     idxs = [
         jax.device_put(ds.pairs[rng.integers(0, 2 * b, size=b)].astype(np.int32))
         for _ in range(8)
@@ -96,7 +106,7 @@ def train_scaled() -> None:
     float(m["loss"])
     dt = (time.perf_counter() - t0) / n
     _emit(
-        "train_scaled",
+        "train_scaled_sparse" if sparse else "train_scaled",
         examples_per_sec=round(b / dt, 1),
         step_ms=round(dt * 1e3, 2),
         table_rows_per_tower=int(table_rows),
@@ -158,6 +168,7 @@ def corpus_eval() -> None:
 
 BENCHES = {
     "train_scaled": train_scaled,
+    "train_scaled_sparse": lambda: train_scaled(sparse=True),
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),
     "corpus_eval": corpus_eval,

@@ -113,6 +113,57 @@ def run_pipeline(
     return manifest
 
 
+def update_text_embeddings(
+    out_dir: str | Path,
+    table_name: str,
+    column: str,
+    texts_by_pk: Mapping[str, str],
+    *,
+    embedder=None,
+    text_config: Mapping | None = None,
+) -> int:
+    """Incrementally re-embed one text column for selected rows.
+
+    Capability parity with the reference's text_vector_updator.py
+    (chunked UPDATE of one pgvector column): chunks containing affected PKs
+    are rewritten in place with fresh embeddings; untouched chunks are left
+    alone. Returns the number of rows updated.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    manifest = json.loads((out / f"{table_name}_manifest.json").read_text())
+    if column not in manifest["text_outputs"]:
+        raise KeyError(f"{column!r} is not a text column of {table_name!r}")
+    pk_cols = manifest["pk"]
+    txt = TextPreprocessor({column: text_config or {}}, embedder=embedder)
+    updated = 0
+    for fname in manifest["chunks"]:
+        path = out / fname
+        tbl = pq.read_table(str(path))
+        n = tbl.num_rows
+        if len(pk_cols) == 1:
+            keys = [str(v) for v in tbl.column(pk_cols[0]).to_pylist()]
+        else:
+            cols = [tbl.column(c).to_pylist() for c in pk_cols]
+            keys = ["|".join(str(v) for v in row) for row in zip(*cols)]
+        hit = [i for i, k in enumerate(keys) if k in texts_by_pk]
+        if not hit:
+            continue
+        emb_col = tbl.column(column).to_numpy(zero_copy_only=False)
+        block = np.stack(emb_col).astype(np.float32)
+        new_texts = [texts_by_pk[keys[i]] for i in hit]
+        new_emb = txt.transform({column: np.asarray(new_texts, object)}, [column])[column]
+        block[hit] = new_emb
+        dim = block.shape[1]
+        new_arr = pa.array(list(block), type=pa.list_(pa.float32(), dim))
+        tbl = tbl.set_column(tbl.column_names.index(column), column, new_arr)
+        pq.write_table(tbl, str(path))
+        updated += len(hit)
+    return updated
+
+
 def load_preprocessed(out_dir: str | Path, table_name: str) -> dict[str, np.ndarray]:
     """Read all chunks back into one column dict (embeddings -> [N, D])."""
     import pyarrow.parquet as pq

@@ -41,6 +41,16 @@ def table_layout(vocab_sizes: tuple[int, ...], row_alignment: int = ROW_ALIGNMEN
     return offsets, max(acc, row_alignment)
 
 
+def absolute_rows(vocab_sizes: tuple[int, ...], cat_ids) -> "jax.Array":
+    """Clamp per-feature ids into their vocab and add the unified-table
+    offsets — the same mapping EmbeddingCollection applies (clamp parity
+    with the reference, cat_embed.py:115-117). cat_ids: int32 [B, K]."""
+    offsets, _ = table_layout(vocab_sizes)
+    vocabs = jnp.asarray(np.asarray(vocab_sizes, np.int32))
+    ids = jnp.clip(cat_ids, 0, vocabs[None, :] - 1)
+    return ids + jnp.asarray(offsets)[None, :]
+
+
 def tile_feature_map(vocab_sizes: tuple[int, ...], row_alignment: int = ROW_ALIGNMENT):
     """Static map tile_index -> owning feature for the aligned layout."""
     out = []

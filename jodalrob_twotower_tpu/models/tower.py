@@ -38,7 +38,18 @@ class Tower(nn.Module):
     lookup_fn: object | None = None  # custom embedding lookup (sharded path)
 
     @nn.compact
-    def __call__(self, batch: TowerBatch, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        batch: TowerBatch,
+        *,
+        train: bool = False,
+        emb_override: jax.Array | None = None,
+    ) -> jax.Array:
+        """``emb_override`` ([B, K*embed_dim]) substitutes the categorical
+        embedding activations — the sparse-table training path computes the
+        lookup outside autodiff and feeds activations in, so table grads
+        arrive as compact [B, K, D] cotangents instead of a full-table
+        scatter (train/sparse_tables.py)."""
         cfg = self.config
         compute_dtype = _dtype(cfg.compute_dtype)
         dense = batch.dense.astype(compute_dtype)
@@ -64,7 +75,9 @@ class Tower(nn.Module):
                 nn.Dense(cfg.tower_hidden_dims[0], dtype=compute_dtype, name="dense_projection")(projected)
             )
 
-        if self.schema.num_categorical:
+        if self.schema.num_categorical and emb_override is not None:
+            parts.append(emb_override.astype(compute_dtype))
+        elif self.schema.num_categorical:
             emb = EmbeddingCollection(
                 vocab_sizes=self.schema.vocab_sizes,
                 embed_dim=cfg.categorical_embedding_dim,

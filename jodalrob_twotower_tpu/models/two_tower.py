@@ -36,11 +36,16 @@ class TwoTowerModel(nn.Module):
             self.lookup_fn, name="company_tower"
         )
 
-    def __call__(self, batch: PairBatch, *, train: bool = False):
-        """Returns (notice_emb, company_emb), both [B, final_dim], L2-normalized."""
+    def __call__(self, batch: PairBatch, *, train: bool = False, emb_overrides=None):
+        """Returns (notice_emb, company_emb), both [B, final_dim], L2-normalized.
+
+        ``emb_overrides``: optional (notice_emb_acts, company_emb_acts) pair
+        substituting the categorical embedding activations (sparse-table
+        training path)."""
+        n_ov, c_ov = emb_overrides if emb_overrides is not None else (None, None)
         return (
-            self.notice_tower(batch.notice, train=train),
-            self.company_tower(batch.company, train=train),
+            self.notice_tower(batch.notice, train=train, emb_override=n_ov),
+            self.company_tower(batch.company, train=train, emb_override=c_ov),
         )
 
     def encode_notice(self, batch: TowerBatch, *, train: bool = False) -> jax.Array:

@@ -191,3 +191,37 @@ def test_pipeline_end_to_end(tmp_path, rng):
     assert data["region"].dtype == np.int32
     assert data["price_is_null"].sum() == 1.0
     assert set(np.unique(data["region"])) <= {3, 4, 5}
+
+
+def test_update_text_embeddings(tmp_path):
+    from jodalrob_twotower_tpu.etl.pipeline import update_text_embeddings
+    from jodalrob_twotower_tpu.etl.text import HashTextEmbedder
+
+    n = 50
+    chunk = {
+        "id": np.array([f"k{i}" for i in range(n)], object),
+        "price": np.arange(n, dtype=float),
+        "region": np.array(["a"] * n, object),
+        "title": np.array([f"old text {i}" for i in range(n)], object),
+    }
+    emb = HashTextEmbedder(16)
+    run_pipeline(
+        "notice", [chunk], tmp_path,
+        pk_columns=["id"], numeric_columns=["price"],
+        categorical_columns=["region"], text_columns=["title"],
+        text_embedder=emb,
+    )
+    before = load_preprocessed(tmp_path, "notice")["title"].copy()
+    updated = update_text_embeddings(
+        tmp_path, "notice", "title",
+        {"k3": "completely new words", "k7": "other new words"},
+        embedder=emb,
+    )
+    assert updated == 2
+    after = load_preprocessed(tmp_path, "notice")["title"]
+    assert not np.allclose(after[3], before[3])
+    assert not np.allclose(after[7], before[7])
+    untouched = [i for i in range(n) if i not in (3, 7)]
+    np.testing.assert_allclose(after[untouched], before[untouched])
+    with pytest.raises(KeyError, match="not a text column"):
+        update_text_embeddings(tmp_path, "notice", "price", {}, embedder=emb)

@@ -1,0 +1,169 @@
+"""Sparse-table training step vs the standard dense path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu.config import (
+    LossConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+from jodalrob_twotower_tpu.models.embedding import absolute_rows, table_layout
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.schema import tiny_synthetic_schema
+from jodalrob_twotower_tpu.train.sparse_tables import (
+    SparseTable,
+    create_sparse_train_state,
+    make_sparse_train_step,
+    merged_params,
+    sparse_rowwise_adagrad_update,
+)
+from jodalrob_twotower_tpu.train.train_step import (
+    create_train_state,
+    device_store,
+    make_eval_step,
+    make_indexed_train_step,
+)
+
+_CFG = TrainConfig(
+    model=ModelConfig(
+        categorical_embedding_dim=8,
+        dense_projection_dim=16,
+        tower_hidden_dims=(32, 16),
+        final_embedding_dim=8,
+        dropout_rate=0.0,
+        use_batch_norm=False,
+        compute_dtype="float32",
+        embedding_grad="scatter",
+    ),
+    loss=LossConfig(temperature=0.2),
+    optimizer=OptimizerConfig(learning_rate=1e-3, warmup_ratio=0.0),
+)
+
+
+def test_absolute_rows():
+    rows = absolute_rows((50, 200), jnp.asarray([[0, 0], [49, 199], [100, 500]], jnp.int32))
+    offsets, _ = table_layout((50, 200))
+    np.testing.assert_array_equal(
+        np.asarray(rows), [[0, 128], [49, 128 + 199], [49, 128 + 199]]
+    )  # clamped then offset
+
+
+def test_sparse_adagrad_update_exact_unique():
+    st = SparseTable(table=jnp.ones((64, 4)), accumulator=jnp.full((64, 1), 0.1))
+    rows = jnp.asarray([3, 10], jnp.int32)
+    g = jnp.asarray([[1.0, 1, 1, 1], [2, 0, 0, 0]])
+    out = sparse_rowwise_adagrad_update(st, rows, g, lr=0.5, eps=0.0)
+    # acc[3] = 0.1 + mean(1) = 1.1; step = 0.5*1/sqrt(1.1)
+    np.testing.assert_allclose(float(out.accumulator[3, 0]), 1.1, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.table[3]), 1.0 - 0.5 / np.sqrt(1.1), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(out.accumulator[10, 0]), 0.1 + 1.0, rtol=1e-6)
+    # untouched rows unchanged
+    np.testing.assert_array_equal(np.asarray(out.table[0]), np.ones(4))
+    np.testing.assert_allclose(float(out.accumulator[0, 0]), 0.1)
+
+
+@pytest.fixture(scope="module")
+def unique_id_dataset():
+    """Dataset whose categorical ids are all-distinct per feature within any
+    64-row batch (vocab >= rows, ids = row index) so the per-occurrence
+    sparse update is EXACTLY the dense rowwise update."""
+    schema = tiny_synthetic_schema(n_categorical=3, vocab_size=512, n_numeric=6)
+    ds = make_synthetic_dataset(
+        schema, n_notices=512, n_companies=512, n_pairs=2048, n_clusters=16, seed=3
+    )
+    for store in (ds.notice_store, ds.company_store):
+        store.cat_ids[:] = np.arange(512)[:, None]  # id == row, unique per batch
+    return ds
+
+
+def test_sparse_step_matches_dense_step(unique_id_dataset):
+    ds = unique_id_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    # batch of distinct notice AND company rows -> duplicate-free ids
+    pairs = np.stack([np.arange(64), np.arange(64, 128)], axis=1)
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, pairs)
+    idx = jnp.asarray(pairs, jnp.int32)
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+
+    # dense reference: same init (same rng), rowwise adagrad on tables
+    ref_state, ref_tx = create_train_state(
+        model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100
+    )
+    ref_step = make_indexed_train_step(model, _CFG, ref_tx, donate=False)
+    ref2, ref_metrics = ref_step(ref_state, idx, n_store, c_store)
+
+    sp_state, sp_tx = create_sparse_train_state(
+        model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100
+    )
+    sp_step = make_sparse_train_step(model, _CFG, sp_tx, 100, donate=False)
+    sp2, sp_metrics = sp_step(sp_state, idx, n_store, c_store)
+
+    np.testing.assert_allclose(
+        float(sp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-6
+    )
+    # tables after one step identical (duplicate-free -> exact semantics)
+    np.testing.assert_allclose(
+        np.asarray(sp2.notice_table.table),
+        np.asarray(ref2.params["notice_tower"]["embeddings"]["table"]),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp2.company_table.table),
+        np.asarray(ref2.params["company_tower"]["embeddings"]["table"]),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    # dense params identical too (same adamw + schedule)
+    for a, b in zip(
+        jax.tree.leaves(sp2.dense_params),
+        jax.tree.leaves(
+            {
+                k: {kk: vv for kk, vv in v.items() if kk != "embeddings"}
+                for k, v in ref2.params.items()
+            }
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_sparse_training_learns_and_merges(tiny_dataset):
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    tr, va = ds.split(0.2, seed=0)
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:64])
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+    state, tx = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(0), batch, 200)
+    step = make_sparse_train_step(model, _CFG, tx, 200, donate=False)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(100):
+        idx = jnp.asarray(tr[rng.integers(0, len(tr), 64)], jnp.int32)
+        state, m = step(state, idx, n_store, c_store)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+
+    # merged params drive the standard eval path
+    from jodalrob_twotower_tpu.train.train_step import TrainState
+
+    eval_state = TrainState(
+        step=state.step,
+        params=merged_params(state),
+        batch_stats=state.batch_stats,
+        opt_state=None,
+        rng=state.rng,
+    )
+    eval_step = make_eval_step(model, _CFG)
+    val_batch = assemble_pair_batch(ds.notice_store, ds.company_store, va[:64])
+    metrics = eval_step(eval_state, val_batch)
+    assert float(metrics["accuracy"]) > 3.0 / 64
