@@ -167,3 +167,31 @@ def test_sparse_training_learns_and_merges(tiny_dataset):
     val_batch = assemble_pair_batch(ds.notice_store, ds.company_store, va[:64])
     metrics = eval_step(eval_state, val_batch)
     assert float(metrics["accuracy"]) > 3.0 / 64
+
+
+def test_sparse_state_checkpoint_roundtrip(tiny_dataset, tmp_path):
+    """SparseTrainState is a pytree: orbax save/restore preserves it."""
+    import orbax.checkpoint as ocp
+
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:32])
+    state, tx = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(0), batch, 10)
+    step = make_sparse_train_step(model, _CFG, tx, 10, donate=False)
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+    state, _ = step(state, jnp.asarray(ds.pairs[:32], jnp.int32), n_store, c_store)
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((tmp_path / "sparse").absolute(), state)
+    ckptr.wait_until_finished()
+    fresh, _ = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(9), batch, 10)
+    restored = ckptr.restore((tmp_path / "sparse").absolute(), fresh)
+    np.testing.assert_array_equal(
+        np.asarray(restored.notice_table.table), np.asarray(state.notice_table.table)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.notice_table.accumulator),
+        np.asarray(state.notice_table.accumulator),
+    )
+    assert int(restored.step) == 1
