@@ -117,11 +117,14 @@ def make_synthetic_dataset(
         if len(by_cluster[c]) == 0:
             company_cluster[c % n_companies] = c
             by_cluster[c] = np.asarray([c % n_companies])
+    # vectorized same-cluster sampling (a python loop here cost ~1min at 400k pairs)
+    counts = np.asarray([len(m) for m in by_cluster])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])])
+    flat_members = np.concatenate(by_cluster)
     n_idx = rng.integers(0, n_notices, size=n_pairs)
-    c_idx = np.empty(n_pairs, dtype=np.int64)
-    for i, ni in enumerate(n_idx):
-        members = by_cluster[notice_cluster[ni]]
-        c_idx[i] = members[rng.integers(0, len(members))]
+    pair_cluster = notice_cluster[n_idx]
+    pos = (rng.random(n_pairs) * counts[pair_cluster]).astype(np.int64)
+    c_idx = flat_members[offsets[pair_cluster] + pos]
     pairs = np.stack([n_idx, c_idx], axis=1).astype(np.int64)
 
     return SyntheticDataset(
