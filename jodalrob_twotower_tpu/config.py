@@ -135,6 +135,8 @@ class TrainConfig:
     log_interval: int = 20
     metadata_path: str | None = None
     results_csv: str = "train_results.csv"
+    # structured per-epoch metrics stream (JSONL); empty disables
+    metrics_jsonl: str = ""
     seed: int = 42
 
     # -- (de)serialization ---------------------------------------------------

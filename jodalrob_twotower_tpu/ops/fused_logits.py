@@ -350,6 +350,7 @@ def fused_in_batch_metrics(
     metrics = {
         "accuracy": jnp.mean((ranks == 0).astype(jnp.float32)),
         "mrr": jnp.mean(1.0 / (ranks + 1.0)),
+        "auc": jnp.mean(1.0 - ranks / jnp.maximum(b - 1, 1)),
         "positive_similarity": jnp.mean(stats.diag),
         "negative_similarity": jnp.mean(neg_mean),
     }

@@ -29,6 +29,7 @@ FIELDS = [
     "corpus_recall_at_10",
     "corpus_recall_at_100",
     "mrr",
+    "auc",
     "positive_similarity",
     "negative_similarity",
     "similarity_gap",
@@ -46,6 +47,7 @@ _METRIC_TO_FIELD = {
     "corpus_recall@10": "corpus_recall_at_10",
     "corpus_recall@100": "corpus_recall_at_100",
     "mrr": "mrr",
+    "auc": "auc",
     "positive_similarity": "positive_similarity",
     "negative_similarity": "negative_similarity",
     "similarity_gap": "similarity_gap",

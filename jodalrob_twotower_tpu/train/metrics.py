@@ -33,6 +33,9 @@ def in_batch_metrics(sim: jax.Array, recall_ks: tuple[int, ...] = (5, 10)) -> di
     metrics = {
         "accuracy": jnp.mean((ranks == 0).astype(jnp.float32)),
         "mrr": jnp.mean(1.0 / (ranks.astype(jnp.float32) + 1.0)),
+        # in-batch ROC-AUC: P(pos scores above a random negative); rank r
+        # means r of the B-1 negatives beat the positive
+        "auc": jnp.mean(1.0 - ranks.astype(jnp.float32) / jnp.maximum(b - 1, 1)),
         "positive_similarity": jnp.mean(diag),
         "negative_similarity": jnp.mean(neg_mean),
     }

@@ -76,6 +76,11 @@ class Trainer:
         self.model = build_model(schema, cfg, None)
         self.log = log_fn
         self.evaluator = Evaluator(self.model, cfg)
+        self._metrics_logger = None
+        if cfg.metrics_jsonl:
+            from jodalrob_twotower_tpu.utils.profiling import MetricsLogger
+
+            self._metrics_logger = MetricsLogger(cfg.metrics_jsonl)
 
     def train(
         self,
@@ -182,6 +187,8 @@ class Trainer:
                 **{f"val_{k}": v for k, v in val.items()},
             }
             history.append(entry)
+            if self._metrics_logger is not None:
+                self._metrics_logger.log(int(state.step), entry)
             self.log(
                 f"epoch {epoch}: train_loss {train_loss:.4f} val_loss {val.get('loss', float('nan')):.4f} "
                 f"acc {val.get('accuracy', 0):.4f} mrr {val.get('mrr', 0):.4f} "

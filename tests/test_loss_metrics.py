@@ -104,6 +104,7 @@ def test_in_batch_metrics_against_numpy(rng):
     )
     assert m["accuracy"] == pytest.approx((ranks == 0).mean())
     assert m["mrr"] == pytest.approx((1.0 / (ranks + 1)).mean(), rel=1e-5)
+    assert m["auc"] == pytest.approx((1.0 - ranks / 63).mean(), rel=1e-5)
     assert m["recall@5"] == pytest.approx((ranks < 5).mean())
     assert m["recall@10"] == pytest.approx((ranks < 10).mean())
     diag = np.diagonal(sim_np)
