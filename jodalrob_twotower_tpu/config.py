@@ -137,6 +137,10 @@ class TrainConfig:
     results_csv: str = "train_results.csv"
     # structured per-epoch metrics stream (JSONL); empty disables
     metrics_jsonl: str = ""
+    # O(batch) sparse-table training path (train/sparse_tables.py) for huge
+    # embedding tables: tables + rowwise-Adagrad state live outside the
+    # dense param tree and only touched rows are updated per step
+    sparse_tables: bool = False
     seed: int = 42
 
     # -- (de)serialization ---------------------------------------------------

@@ -79,6 +79,13 @@ def make_sharded_train(
     the step function is the ordinary fused train step jitted with donated,
     sharded inputs.
     """
+    if cfg.loss.use_fused_logits and mesh.size > 1:
+        raise ValueError(
+            "use_fused_logits is single-device: a Pallas custom call cannot be "
+            "partitioned by GSPMD, and running it per-shard would silently "
+            "shrink the in-batch negative set to the local shard. Use the XLA "
+            "loss path under a mesh (the [B,B] matmul is sharded by XLA)."
+        )
     state, tx = create_train_state(
         model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
     )

@@ -76,10 +76,16 @@ class CheckpointManager:
         self._ckptr.save(path.absolute(), state)
         self._ckptr.wait_until_finished()
 
-    def _write_params_only(self, path: Path, state: TrainState) -> None:
+    def _write_params_only(self, path: Path, state) -> None:
         if path.exists():
             shutil.rmtree(path)
-        self._ckptr.save(path.absolute(), {"params": state.params, "batch_stats": state.batch_stats})
+        if hasattr(state, "params"):
+            params = state.params
+        else:  # sparse-table state: merge tables back into the param tree
+            from jodalrob_twotower_tpu.train.sparse_tables import merged_params
+
+            params = merged_params(state)
+        self._ckptr.save(path.absolute(), {"params": params, "batch_stats": state.batch_stats})
         self._ckptr.wait_until_finished()
 
     def _prune_epochs(self) -> None:

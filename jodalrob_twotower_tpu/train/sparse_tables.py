@@ -149,6 +149,7 @@ def make_sparse_train_step(
     *,
     donate: bool = True,
     with_metrics: bool = False,
+    jit: bool = True,
 ):
     """Indexed train step over device-resident stores with sparse tables.
 
@@ -257,4 +258,30 @@ def make_sparse_train_step(
             metrics.update(in_batch_metrics(sim))
         return new_state, metrics
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_scanned_sparse_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    total_steps: int,
+    n_inner: int,
+    *,
+    donate: bool = True,
+):
+    """n_inner sparse steps per dispatch via lax.scan (mirror of
+    train_step.make_scanned_train_steps)."""
+    inner = make_sparse_train_step(
+        model, cfg, tx, total_steps, jit=False, with_metrics=False
+    )
+
+    def steps_fn(state, pair_idx_stack, notice_store, company_store):
+        def body(carry, pair_idx):
+            return inner(carry, pair_idx, notice_store, company_store)
+
+        return jax.lax.scan(body, state, pair_idx_stack)
+
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())

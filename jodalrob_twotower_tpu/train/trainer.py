@@ -110,10 +110,21 @@ class Trainer:
             else np.asarray(next(iter(batch_source(0))), np.int64)
         )
         example = assemble_pair_batch(self.notice_store, self.company_store, example_rows)
-        state, tx = create_train_state(
-            self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
-        )
-        num_params = _count_params(state.params)
+        if cfg.sparse_tables:
+            from jodalrob_twotower_tpu.train.sparse_tables import (
+                create_sparse_train_state,
+                merged_params,
+            )
+
+            state, tx = create_sparse_train_state(
+                self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
+            )
+            num_params = _count_params(merged_params(state))
+        else:
+            state, tx = create_train_state(
+                self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
+            )
+            num_params = _count_params(state.params)
         self.log(f"model: {num_params:,} params; {steps_per_epoch} steps/epoch x {cfg.optimizer.num_epochs} epochs")
 
         ckpt = None
@@ -132,8 +143,19 @@ class Trainer:
         n_store = device_store(self.notice_store)
         c_store = device_store(self.company_store)
         n_inner = max(min(n_inner, steps_per_epoch), 1)
-        scan_steps = make_scanned_train_steps(self.model, cfg, tx, n_inner)
-        single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
+        if cfg.sparse_tables:
+            from jodalrob_twotower_tpu.train.sparse_tables import (
+                make_scanned_sparse_steps,
+                make_sparse_train_step,
+            )
+
+            scan_steps = make_scanned_sparse_steps(self.model, cfg, tx, total_steps, n_inner)
+            single_step = make_sparse_train_step(
+                self.model, cfg, tx, total_steps, with_metrics=True
+            )
+        else:
+            scan_steps = make_scanned_train_steps(self.model, cfg, tx, n_inner)
+            single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
 
         history: list[dict] = []
         examples_per_sec = 0.0
@@ -291,8 +313,25 @@ class Trainer:
                 f"pairs (first: {bad[0]}) - input pipeline misaligned"
             )
 
+    def _eval_view(self, state):
+        """The evaluator consumes a standard TrainState; sparse states get
+        their tables merged back into the param tree."""
+        if self.cfg.sparse_tables:
+            from jodalrob_twotower_tpu.train.sparse_tables import merged_params
+            from jodalrob_twotower_tpu.train.train_step import TrainState
+
+            return TrainState(
+                step=state.step,
+                params=merged_params(state),
+                batch_stats=state.batch_stats,
+                opt_state=None,
+                rng=state.rng,
+            )
+        return state
+
     def validate(self, state, val_pairs: np.ndarray) -> dict[str, float]:
         b = self.cfg.data.batch_size
+        state = self._eval_view(state)
         batches = (
             assemble_pair_batch(self.notice_store, self.company_store, idx)
             for idx in epoch_batches(val_pairs, b, shuffle=False)
@@ -301,6 +340,7 @@ class Trainer:
 
     def corpus_eval(self, state, val_pairs: np.ndarray, ks: tuple[int, ...] = (10, 100)):
         """Rank each val notice's paired company against the full corpus."""
+        state = self._eval_view(state)
         corpus_emb = self.evaluator.encode_corpus(
             state, self.company_store.dense, self.company_store.cat_ids, side="company"
         )

@@ -118,3 +118,16 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_fused_logits_rejected_on_mesh(tiny_dataset):
+    """The Pallas loss kernel is single-device; meshes must use the XLA path."""
+    ds = tiny_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+
+    cfg = _CFG.replace(loss=LossConfig(use_fused_logits=True))
+    model = TwoTowerModel(ds.schema, cfg.model)
+    mesh = make_mesh(jax.devices(), MeshConfig())
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
+    with pytest.raises(ValueError, match="single-device"):
+        make_sharded_train(model, cfg, mesh, batch, 10)

@@ -195,3 +195,29 @@ def test_sparse_state_checkpoint_roundtrip(tiny_dataset, tmp_path):
         np.asarray(state.notice_table.accumulator),
     )
     assert int(restored.step) == 1
+
+
+def test_trainer_sparse_tables_end_to_end(tiny_dataset, tmp_path):
+    """The production Trainer drives the sparse path via the config flag."""
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    ds = tiny_dataset
+    cfg = _CFG.replace(
+        sparse_tables=True,
+        results_csv=str(tmp_path / "results.csv"),
+        optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=3),
+    )
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
+    tr, va = ds.split(0.2, seed=0)
+    result = trainer.train(tr, va[:256], checkpoint_dir=tmp_path / "ckpt", corpus_eval=True)
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+    assert result.final_val["accuracy"] > 3.0 / 64
+    assert result.corpus is not None and result.corpus.recall[100] > 0.3
+    # checkpoints written, incl weights-only export with merged tables
+    assert (tmp_path / "ckpt" / "final").exists()
+    assert (tmp_path / "ckpt" / "weights").exists()
+    # resume restores the sparse state structure
+    cfg2 = cfg.replace(optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=4))
+    trainer2 = Trainer(cfg2, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
+    r2 = trainer2.train(tr, va[:256], checkpoint_dir=tmp_path / "ckpt", resume=True, corpus_eval=False)
+    assert [h["epoch"] for h in r2.history] == [3]
