@@ -22,3 +22,25 @@ from jodalrob_twotower_tpu.schema import (  # noqa: F401
     classify_columns,
     schema_from_metadata_csv,
 )
+from jodalrob_twotower_tpu.config import TrainConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight entry points (avoid importing jax at package import)
+    if name == "Trainer":
+        from jodalrob_twotower_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "RetrievalService":
+        from jodalrob_twotower_tpu.serving.service import RetrievalService
+
+        return RetrievalService
+    if name == "make_synthetic_dataset":
+        from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+
+        return make_synthetic_dataset
+    if name == "build_model":
+        from jodalrob_twotower_tpu.models import build_model
+
+        return build_model
+    raise AttributeError(name)

@@ -78,18 +78,21 @@ class Int8Index:
         safe = jnp.where(self.scales > 0, self.scales, 1.0)
         self.values = jnp.clip(jnp.round(corpus / safe), -127, 127).astype(jnp.int8)
         self.query_chunk = query_chunk
+        self._search = self._make_search(self.values, self.scales)
 
+    @staticmethod
+    def _make_search(values, scales):
         @functools.partial(jax.jit, static_argnums=(1,))
         def _search(queries, k):
             # int8 -> bf16 convert fuses into the matmul; accumulate f32.
             sims = jnp.dot(
                 queries.astype(jnp.bfloat16),
-                self.values.T.astype(jnp.bfloat16),
+                values.T.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            ) * self.scales[:, 0][None, :]
+            ) * scales[:, 0][None, :]
             return jax.lax.top_k(sims, k)
 
-        self._search = _search
+        return _search
 
     def __len__(self) -> int:
         return self.values.shape[0]
@@ -100,6 +103,37 @@ class Int8Index:
 
     def search(self, queries, k: int = 10) -> SearchResult:
         return _topk_chunked(self._search, jnp.asarray(queries), k, self.query_chunk)
+
+
+def save_index(index: "BruteForceIndex | Int8Index", path) -> None:
+    """Persist a built index (npz): rebuildable without the towers."""
+    import numpy as np
+
+    if isinstance(index, Int8Index):
+        np.savez_compressed(
+            path, kind="int8", values=np.asarray(index.values),
+            scales=np.asarray(index.scales), query_chunk=index.query_chunk,
+        )
+    else:
+        np.savez_compressed(
+            path, kind="exact", corpus=np.asarray(index.corpus),
+            query_chunk=index.query_chunk,
+        )
+
+
+def load_index(path) -> "BruteForceIndex | Int8Index":
+    import numpy as np
+
+    with np.load(path) as z:
+        kind = str(z["kind"])
+        if kind == "int8":
+            idx = Int8Index.__new__(Int8Index)
+            idx.values = jnp.asarray(z["values"])
+            idx.scales = jnp.asarray(z["scales"])
+            idx.query_chunk = int(z["query_chunk"])
+            idx._search = Int8Index._make_search(idx.values, idx.scales)
+            return idx
+        return BruteForceIndex(z["corpus"], query_chunk=int(z["query_chunk"]))
 
 
 def recall_vs_exact(

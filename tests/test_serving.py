@@ -108,3 +108,20 @@ def test_qps_bench_runs(service_setup):
     )
     out = qps_bench(svc, ds.notice_store, k=10, batch_size=64, n_batches=3)
     assert out["qps"] > 0 and out["corpus_size"] == len(ds.company_store)
+
+
+def test_index_save_load_roundtrip(tmp_path, rng):
+    from jodalrob_twotower_tpu.serving.index import load_index, save_index
+
+    corpus = _unit(rng, 300, 16)
+    queries = _unit(rng, 8, 16)
+    for cls in (BruteForceIndex, Int8Index):
+        idx = cls(corpus)
+        ref = idx.search(queries, k=5)
+        p = tmp_path / f"{cls.__name__}.npz"
+        save_index(idx, p)
+        loaded = load_index(p)
+        assert type(loaded) is cls and len(loaded) == 300
+        out = loaded.search(queries, k=5)
+        np.testing.assert_array_equal(out.indices, ref.indices)
+        np.testing.assert_allclose(out.scores, ref.scores, rtol=1e-6)
