@@ -53,12 +53,11 @@ class LossConfig:
     temperature: float = 1.0
     label_smoothing: float = 0.0
     cosine_margin: float = 0.0
-    # Whether in-batch negatives span the global (all-chips) batch or only
-    # the per-chip shard. Global matches the reference semantics at any mesh
-    # size (the full batch is the candidate set); documented design choice
-    # (SURVEY.md 7 "hard parts").
-    global_negatives: bool = True
-    # Use the fused Pallas dot+log-softmax logits kernel when available.
+    # In-batch negatives always span the GLOBAL batch: under data
+    # parallelism the [B, B] logits matmul makes XLA all-gather one side, so
+    # the candidate set matches the reference semantics at any mesh size
+    # (verified numerically equal to single-device in tests/test_sharding.py).
+    # Use the fused Pallas dot+log-softmax logits kernel (single-device).
     use_fused_logits: bool = False
 
 
@@ -92,8 +91,6 @@ class DataConfig:
     # Number of batches prefetched onto the device.
     prefetch: int = 2
     drop_remainder: bool = True
-    # Host-side batch assembly: "numpy" or "native" (C++ gather extension).
-    assembler: str = "native"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,12 +54,14 @@ def _is_table_row_leaf(path, leaf, n_data: int) -> bool:
     )
 
 
-def state_shardings(state: TrainState, mesh) -> TrainState:
-    """Sharding pytree matching the train state."""
+def state_shardings(state: TrainState, mesh, *, shard_tables: bool = True) -> TrainState:
+    """Sharding pytree matching the train state. ``shard_tables=False`` keeps
+    the embedding tables replicated (MeshConfig.embedding_sharding
+    'replicated' — right when tables are small and gathers are hot)."""
     n_data = mesh.shape[DATA_AXIS]
 
     def rule(path, leaf):
-        if _is_table_row_leaf(path, leaf, n_data):
+        if shard_tables and _is_table_row_leaf(path, leaf, n_data):
             return row_sharding(mesh, leaf.ndim)
         return replicated(mesh)
 
@@ -89,7 +91,9 @@ def make_sharded_train(
     state, tx = create_train_state(
         model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
     )
-    shardings = state_shardings(state, mesh)
+    shardings = state_shardings(
+        state, mesh, shard_tables=cfg.mesh.embedding_sharding != "replicated"
+    )
     state = jax.device_put(state, shardings)
 
     step_fn = make_train_step(model, cfg, tx, jit=False)

@@ -131,3 +131,17 @@ def test_fused_logits_rejected_on_mesh(tiny_dataset):
     batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
     with pytest.raises(ValueError, match="single-device"):
         make_sharded_train(model, cfg, mesh, batch, 10)
+
+
+def test_replicated_embedding_mode(tiny_dataset):
+    """MeshConfig.embedding_sharding='replicated' keeps tables unsharded."""
+    ds = tiny_dataset
+    cfg = _CFG.replace(mesh=MeshConfig(embedding_sharding="replicated"))
+    model = TwoTowerModel(ds.schema, cfg.model)
+    mesh = make_mesh(jax.devices(), MeshConfig())
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
+    state, train_step, shard_batch = make_sharded_train(model, cfg, mesh, batch, 10)
+    table = state.params["notice_tower"]["embeddings"]["table"]
+    assert table.sharding.is_fully_replicated
+    _, m = train_step(state, shard_batch(batch))
+    assert np.isfinite(float(m["loss"]))
