@@ -71,6 +71,61 @@ def build_pk_lookup(table: str, pk_columns: Sequence[str], n_keys: int) -> str:
     return f"SELECT * FROM {_quote_ident(table)} WHERE {pk} IN ({placeholders})"
 
 
+def build_bid_participants(
+    *,
+    bid_table: str = "bid_two_tower",
+    company_table: str = "company",
+    company_columns: Sequence[str] = (),
+    pk: Mapping[str, Sequence[str]] = DEFAULT_PK,
+) -> str:
+    """Companies that bid on one notice (reference query_helper.py:219-250).
+
+    Parameterized (%s placeholders for bidntceno, bidntceord) instead of the
+    reference's f-string interpolation — same capability, injection-safe.
+    """
+    bid_pk = pk[bid_table if bid_table in pk else "bid_two_tower"]
+    company_pk = pk[company_table if company_table in pk else "company"]
+    cols = (
+        ", ".join(f"c.{_quote_ident(c)}" for c in company_columns)
+        if company_columns
+        else "c.*"
+    )
+    return (
+        f"SELECT {cols} FROM {_quote_ident(bid_table)} b "
+        f"LEFT JOIN {_quote_ident(company_table)} c "
+        f"ON b.{_quote_ident(bid_pk[2])} = c.{_quote_ident(company_pk[0])} "
+        f"WHERE b.{_quote_ident(bid_pk[0])} = %s AND b.{_quote_ident(bid_pk[1])} = %s"
+    )
+
+
+def build_company_bid_history(
+    *,
+    bid_table: str = "bid_two_tower",
+    notice_table: str = "notice",
+    notice_columns: Sequence[str] = ("bidnm", "rgstdt"),
+    order_by: str = "rgstdt",
+    limit: int = 100,
+    pk: Mapping[str, Sequence[str]] = DEFAULT_PK,
+) -> str:
+    """One company's bid history, newest first (query_helper.py:252-283).
+
+    Parameterized on the company id (%s for bizno)."""
+    bid_pk = pk[bid_table if bid_table in pk else "bid_two_tower"]
+    notice_pk = pk[notice_table if notice_table in pk else "notice"]
+    n_cols = ", ".join(f"n.{_quote_ident(c)}" for c in notice_columns)
+    join = " AND ".join(
+        f"b.{_quote_ident(b)} = n.{_quote_ident(n)}"
+        for b, n in zip(bid_pk[:2], notice_pk)
+    )
+    return (
+        f"SELECT b.{_quote_ident(bid_pk[0])}, b.{_quote_ident(bid_pk[1])}, {n_cols} "
+        f"FROM {_quote_ident(bid_table)} b "
+        f"LEFT JOIN {_quote_ident(notice_table)} n ON {join} "
+        f"WHERE b.{_quote_ident(bid_pk[2])} = %s "
+        f"ORDER BY n.{_quote_ident(order_by)} DESC LIMIT {int(limit)}"
+    )
+
+
 def connection_url(env: Mapping[str, str] | None = None) -> str:
     """postgres URL from the reference's env-var surface
     (database_connector.py:14-44): DB_HOST/DB_PORT/DB_NAME/DB_USER/DB_PASSWORD."""

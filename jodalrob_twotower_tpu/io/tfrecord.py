@@ -19,7 +19,7 @@ from __future__ import annotations
 import gzip
 import struct
 from pathlib import Path
-from typing import Iterable, Iterator, Mapping
+from typing import Iterable, Iterator, Mapping, Sequence
 
 import numpy as np
 
@@ -257,6 +257,43 @@ def inspect_tfrecord(path: str | Path, *, limit: int = 5) -> dict:
             )
         count += 1
     return {"path": str(path), "count": count, "preview": preview}
+
+
+def count_records(paths: "str | Path | Sequence[str | Path]") -> int:
+    """Total record count across one or many files (reference
+    tfrecord_viewer.py:158 count_tfrecords, without the TF dependency).
+
+    Accepts a path, a glob pattern, or a sequence of paths."""
+    import glob as _glob
+
+    if isinstance(paths, (str, Path)):
+        s = str(paths)
+        paths = sorted(_glob.glob(s)) if "*" in s else [s]
+    total = 0
+    for p in paths:
+        for _ in TFRecordReader(p):
+            total += 1
+    return total
+
+
+def search_records(
+    path: str | Path,
+    search_key: str,
+    search_value,
+    *,
+    max_results: int = 10,
+) -> list[dict[str, list]]:
+    """Records whose `search_key` feature equals `search_value` (reference
+    tfrecord_viewer.py:114 search_records). Scalar values match a
+    single-element feature list; lists match exactly."""
+    want = search_value if isinstance(search_value, list) else [search_value]
+    out: list[dict[str, list]] = []
+    for ex in TFRecordReader(path).examples():
+        if search_key in ex and ex[search_key] == want:
+            out.append(ex)
+            if len(out) >= max_results:
+                break
+    return out
 
 
 def table_to_tfrecord(

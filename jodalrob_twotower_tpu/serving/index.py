@@ -4,16 +4,24 @@ The reference had single-side encoders "for serving/index building" but **no
 index or serving loop at all** (SURVEY.md §3.5, two_tower_model.py:102-108).
 This module supplies the serving path from BASELINE config 5:
 
-* :class:`BruteForceIndex` — exact maximum-inner-product search: one [Q, N]
-  matmul + top-k per query chunk, corpus resident in HBM.
+* :class:`BruteForceIndex` — exact maximum-inner-product search: [Q, N]
+  matmul + top-k, corpus resident in HBM.
 * :class:`Int8Index` — corpus rows quantized to int8 with one f32 scale per
-  row (max-abs symmetric). Scores are computed as
-  ``(q · int8_rowᵀ) * row_scale`` with the int8→bf16 convert fused into the
-  matmul by XLA, so HBM reads are 4x smaller than f32 brute force — on a
-  bandwidth-bound chip that is a ~4x QPS win at ≈ exact recall.
+  row (max-abs symmetric). Scores are ``(q · int8_rowᵀ) * row_scale`` with
+  the int8→bf16 convert fused into the matmul by XLA, so HBM reads are 4x
+  smaller than f32 brute force.
+* :class:`ShardedIndex` — corpus row-sharded over a device mesh: each chip
+  scores its shard and takes a local top-k, the [k] candidates ride ICI via
+  ``all_gather`` and merge — search over corpora beyond one chip's HBM.
 
-Both share the same `search(queries, k)` API and are jit-compiled with a
-fixed (chunk, k) signature so serving never retraces.
+Large corpora (BASELINE config 5: 10M companies) cannot materialize the
+full [Q, N] score matrix (1024×10M f32 = 40 GB). Passing ``corpus_chunk``
+stores the corpus as [n_chunks, C, D] and searches with a `lax.scan` that
+carries a running top-k, so peak memory is [Q, C] regardless of N.
+
+All indexes expose a *traceable* ``topk_body(queries, k)`` so serving can
+fuse encode+search into one dispatch, plus a host-facing
+``search(queries, k)`` with a fixed (chunk, k) jit signature.
 """
 
 from __future__ import annotations
@@ -31,6 +39,9 @@ class SearchResult(NamedTuple):
     indices: np.ndarray  # [Q, k] int32 corpus rows
 
 
+_NEG = float(np.finfo(np.float32).min)
+
+
 def _topk_chunked(score_fn, queries: jax.Array, k: int, query_chunk: int) -> SearchResult:
     q = queries.shape[0]
     scores_out = []
@@ -43,97 +54,361 @@ def _topk_chunked(score_fn, queries: jax.Array, k: int, query_chunk: int) -> Sea
     return SearchResult(np.concatenate(scores_out), np.concatenate(idx_out))
 
 
+def _xp(arr):
+    """numpy for host arrays, jnp for device arrays (avoids 5 GB D2H round
+    trips when building indexes from embeddings that already live in HBM)."""
+    return jnp if isinstance(arr, jax.Array) else np
+
+
+def _pad_chunks(arr, chunk: int):
+    """[N, ...] -> ([n_chunks, chunk, ...], N). Padding rows are zeros."""
+    xp = _xp(arr)
+    n = arr.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    if pad:
+        arr = xp.concatenate([arr, xp.zeros((pad, *arr.shape[1:]), arr.dtype)])
+    return arr.reshape(n_chunks, chunk, *arr.shape[1:]), n
+
+
+def _merge_topk(scores_a, idx_a, scores_b, idx_b, k: int):
+    """Merge two per-query candidate sets into the best k of their union."""
+    s, sel = jax.lax.top_k(jnp.concatenate([scores_a, scores_b], axis=1), k)
+    i = jnp.take_along_axis(jnp.concatenate([idx_a, idx_b], axis=1), sel, axis=1)
+    return s, i
+
+
+def _select_topk(sims, k: int, approx_recall: float | None):
+    """Per-block candidate selection: exact sort-based top-k, or the TPU-native
+    ``approx_max_k``. On this hardware approx_max_k fuses with the producing
+    matmul and never materializes the [Q, N] score block — measured 89 ms →
+    3.8 ms for [1024, 262144] k=100 (scripts/topk_microbench.py); exact
+    top_k pays a full sort."""
+    if approx_recall is None:
+        return jax.lax.top_k(sims, k)
+    return jax.lax.approx_max_k(sims, k, recall_target=approx_recall)
+
+
+def _scanned_topk(chunk_sims_fn, n_chunks: int, chunk_rows: int, n_valid: int,
+                  queries: jax.Array, k: int, approx_recall: float | None):
+    """Running top-k over corpus chunks; peak memory is one [Q, chunk] block.
+
+    ``chunk_sims_fn(queries, ci) -> [Q, chunk_rows] f32`` scores chunk ci.
+    Padding rows (global row >= n_valid) are masked to -inf before top-k.
+    """
+    rows = jnp.arange(chunk_rows)
+
+    def body(carry, ci):
+        best_s, best_i = carry
+        sims = chunk_sims_fn(queries, ci)
+        sims = jnp.where(ci * chunk_rows + rows[None, :] < n_valid, sims, _NEG)
+        s, i = _select_topk(sims, k, approx_recall)
+        carry = _merge_topk(best_s, best_i, s, (i + ci * chunk_rows).astype(jnp.int32), k)
+        return carry, None
+
+    q = queries.shape[0]
+    init = (jnp.full((q, k), _NEG, jnp.float32), jnp.zeros((q, k), jnp.int32))
+    (s, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return s, i
+
+
 class BruteForceIndex:
-    """Exact MIPS: corpus [N, D] f32 resident on device."""
+    """Exact MIPS: corpus [N, D] f32 resident on device.
 
-    def __init__(self, corpus_emb, *, query_chunk: int = 1024) -> None:
-        self.corpus = jnp.asarray(corpus_emb, jnp.float32)
+    ``corpus_chunk=None`` keeps one flat [N, D] array and a single-matmul
+    search (fastest for corpora whose [Q, N] scores fit). With
+    ``corpus_chunk=C`` the corpus lives as [n_chunks, C, D] and search scans.
+    """
+
+    kind = "exact"
+
+    def __init__(self, corpus_emb, *, query_chunk: int = 1024,
+                 corpus_chunk: int | None = None,
+                 approx_recall: float | None = None) -> None:
+        corpus = (corpus_emb if isinstance(corpus_emb, jax.Array)
+                  else np.asarray(corpus_emb, np.float32))
+        corpus = corpus.astype(_xp(corpus).float32)
         self.query_chunk = query_chunk
+        self.corpus_chunk = corpus_chunk
+        self.approx_recall = approx_recall
+        if corpus_chunk is None:
+            self.corpus = jnp.asarray(corpus)
+            self.n_valid = corpus.shape[0]
+        else:
+            chunks, self.n_valid = _pad_chunks(corpus, corpus_chunk)
+            self.corpus = jnp.asarray(chunks)  # [nc, C, D]
+        # corpus is an explicit argument, NOT a closure: a closed-over device
+        # array is baked into the HLO as a constant, which ships the whole
+        # corpus inside every (remote) compile request
+        self._jit_search = jax.jit(self._topk_impl, static_argnums=(1,))
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def _search(queries, k):
-            sims = jnp.dot(
-                queries.astype(jnp.float32),
-                self.corpus.T,
-                preferred_element_type=jnp.float32,
-            )
-            return jax.lax.top_k(sims, k)
+    def _topk_impl(self, queries, k: int, corpus):
+        q32 = queries.astype(jnp.float32)
+        if self.corpus_chunk is None:
+            sims = jnp.dot(q32, corpus.T, preferred_element_type=jnp.float32)
+            return _select_topk(sims, k, self.approx_recall)
+        nc, c, _ = corpus.shape
 
-        self._search = _search
+        def chunk_sims(qs, ci):
+            return jnp.dot(qs, corpus[ci].T, preferred_element_type=jnp.float32)
+
+        return _scanned_topk(chunk_sims, nc, c, self.n_valid, q32, k,
+                             self.approx_recall)
+
+    def corpus_args(self) -> tuple:
+        """Device arrays the search body needs (pass through enclosing jits)."""
+        return (self.corpus,)
+
+    def topk_body(self, queries, k: int, *corpus_args):
+        """Traceable search body (fuse into larger jits, e.g. encode+search).
+
+        Pass ``*index.corpus_args()`` through the enclosing jit's arguments —
+        closing over them instead works but embeds the corpus in the HLO."""
+        return self._topk_impl(queries, k, *(corpus_args or self.corpus_args()))
 
     def __len__(self) -> int:
-        return self.corpus.shape[0]
+        return self.n_valid
 
     def search(self, queries, k: int = 10) -> SearchResult:
-        return _topk_chunked(self._search, jnp.asarray(queries), k, self.query_chunk)
+        score = lambda q, k: self._jit_search(q, k, *self.corpus_args())
+        return _topk_chunked(score, jnp.asarray(queries), k, self.query_chunk)
+
+    def _host_corpus(self) -> np.ndarray:
+        if self.corpus_chunk is None:
+            return np.asarray(self.corpus)
+        flat = np.asarray(self.corpus).reshape(-1, self.corpus.shape[-1])
+        return flat[: self.n_valid]
 
 
 class Int8Index:
     """Row-wise symmetric int8 quantized MIPS (4x less HBM traffic)."""
 
-    def __init__(self, corpus_emb, *, query_chunk: int = 1024) -> None:
-        corpus = jnp.asarray(corpus_emb, jnp.float32)
-        amax = jnp.max(jnp.abs(corpus), axis=1, keepdims=True)
-        self.scales = (amax / 127.0).astype(jnp.float32)  # [N, 1]
-        safe = jnp.where(self.scales > 0, self.scales, 1.0)
-        self.values = jnp.clip(jnp.round(corpus / safe), -127, 127).astype(jnp.int8)
+    kind = "int8"
+
+    def __init__(self, corpus_emb, *, query_chunk: int = 1024,
+                 corpus_chunk: int | None = None,
+                 approx_recall: float | None = None) -> None:
+        corpus = (corpus_emb if isinstance(corpus_emb, jax.Array)
+                  else np.asarray(corpus_emb, np.float32))
+        values, scales = quantize_int8(corpus.astype(_xp(corpus).float32))
+        self._init_from_quantized(values, scales, query_chunk, corpus_chunk,
+                                  approx_recall)
+
+    def _init_from_quantized(self, values, scales, query_chunk: int,
+                             corpus_chunk: int | None,
+                             approx_recall: float | None = None) -> None:
         self.query_chunk = query_chunk
-        self._search = self._make_search(self.values, self.scales)
+        self.corpus_chunk = corpus_chunk
+        self.approx_recall = approx_recall
+        if corpus_chunk is None:
+            self.values = jnp.asarray(values)  # [N, D] int8
+            self.scales = jnp.asarray(scales)  # [N, 1] f32
+            self.n_valid = values.shape[0]
+        else:
+            vc, self.n_valid = _pad_chunks(values, corpus_chunk)
+            sc, _ = _pad_chunks(scales, corpus_chunk)
+            self.values = jnp.asarray(vc)  # [nc, C, D]
+            self.scales = jnp.asarray(sc)  # [nc, C, 1]
+        self._jit_search = jax.jit(self._topk_impl, static_argnums=(1,))
 
-    @staticmethod
-    def _make_search(values, scales):
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def _search(queries, k):
-            # int8 -> bf16 convert fuses into the matmul; accumulate f32.
-            sims = jnp.dot(
-                queries.astype(jnp.bfloat16),
-                values.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ) * scales[:, 0][None, :]
-            return jax.lax.top_k(sims, k)
+    @classmethod
+    def from_quantized(cls, values, scales, *, query_chunk: int = 1024,
+                       corpus_chunk: int | None = None,
+                       approx_recall: float | None = None) -> "Int8Index":
+        """Build from already-quantized rows (device arrays stay on device)."""
+        idx = cls.__new__(cls)
+        if not isinstance(values, jax.Array):
+            values, scales = np.asarray(values), np.asarray(scales)
+        idx._init_from_quantized(values, scales, query_chunk, corpus_chunk,
+                                 approx_recall)
+        return idx
 
-        return _search
+    def _topk_impl(self, queries, k: int, values, scales):
+        qbf = queries.astype(jnp.bfloat16)
+        if self.corpus_chunk is None:
+            sims = jnp.dot(qbf, values.T.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) * scales[:, 0][None, :]
+            return _select_topk(sims, k, self.approx_recall)
+        nc, c, _ = values.shape
+
+        def chunk_sims(qs, ci):
+            return jnp.dot(qs, values[ci].T.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) * scales[ci][:, 0][None, :]
+
+        return _scanned_topk(chunk_sims, nc, c, self.n_valid, qbf, k,
+                             self.approx_recall)
+
+    def corpus_args(self) -> tuple:
+        """Device arrays the search body needs (pass through enclosing jits)."""
+        return (self.values, self.scales)
+
+    def topk_body(self, queries, k: int, *corpus_args):
+        """Traceable search body; see BruteForceIndex.topk_body."""
+        return self._topk_impl(queries, k, *(corpus_args or self.corpus_args()))
 
     def __len__(self) -> int:
-        return self.values.shape[0]
+        return self.n_valid
 
     @property
     def nbytes(self) -> int:
         return self.values.size + self.scales.size * 4
 
     def search(self, queries, k: int = 10) -> SearchResult:
-        return _topk_chunked(self._search, jnp.asarray(queries), k, self.query_chunk)
+        score = lambda q, k: self._jit_search(q, k, *self.corpus_args())
+        return _topk_chunked(score, jnp.asarray(queries), k, self.query_chunk)
+
+    def _host_quantized(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.corpus_chunk is None:
+            return np.asarray(self.values), np.asarray(self.scales)
+        v = np.asarray(self.values).reshape(-1, self.values.shape[-1])[: self.n_valid]
+        s = np.asarray(self.scales).reshape(-1, 1)[: self.n_valid]
+        return v, s
+
+
+def quantize_int8(corpus):
+    """Row-wise symmetric int8: values [N, D] int8, scales [N, 1] f32.
+
+    Works on host numpy or device jax arrays (device path never leaves HBM).
+    """
+    xp = _xp(corpus)
+    amax = xp.max(xp.abs(corpus), axis=1, keepdims=True)
+    scales = (amax / 127.0).astype(xp.float32)
+    safe = xp.where(scales > 0, scales, xp.ones_like(scales))
+    values = xp.clip(xp.round(corpus / safe), -127, 127).astype(xp.int8)
+    return values, scales
+
+
+class ShardedIndex:
+    """MIPS over a corpus row-sharded across a device mesh.
+
+    Each device scores only its rows and takes a local top-k; the k
+    candidates per device are all-gathered over ICI and merged — total
+    cross-chip traffic is O(ndev·k), never the corpus. Scales serving to
+    corpora that exceed one chip's HBM (the multi-chip half of BASELINE
+    config 5). ``kind`` picks f32-exact or int8-quantized shards.
+    """
+
+    def __init__(self, corpus_emb, mesh, *, axis: str = "data",
+                 kind: str = "exact", query_chunk: int = 1024,
+                 approx_recall: float | None = None) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.axis = axis
+        self.kind = kind
+        self.query_chunk = query_chunk
+        self.approx_recall = approx_recall
+        ndev = mesh.shape[axis]
+        corpus = (corpus_emb if isinstance(corpus_emb, jax.Array)
+                  else np.asarray(corpus_emb, np.float32))
+        xp = _xp(corpus)
+        corpus = corpus.astype(xp.float32)
+        self.n_valid = corpus.shape[0]
+        shard_rows = -(-self.n_valid // ndev)
+        pad = ndev * shard_rows - self.n_valid
+        if pad:
+            corpus = xp.concatenate(
+                [corpus, xp.zeros((pad, corpus.shape[1]), xp.float32)]
+            )
+        self.shard_rows = shard_rows
+        row_sharded = NamedSharding(mesh, P(axis, None))
+        if kind == "int8":
+            values, scales = quantize_int8(corpus)
+            self.values = jax.device_put(values, row_sharded)
+            self.scales = jax.device_put(scales, row_sharded)
+        elif kind == "exact":
+            self.corpus = jax.device_put(corpus, row_sharded)
+        else:
+            raise ValueError(f"unknown kind: {kind}")
+        self._jit_search = jax.jit(self._topk_impl, static_argnums=(1,))
+
+    def __len__(self) -> int:
+        return self.n_valid
+
+    def corpus_args(self) -> tuple:
+        """Device arrays the search body needs (pass through enclosing jits)."""
+        return (self.values, self.scales) if self.kind == "int8" else (self.corpus,)
+
+    def topk_body(self, queries, k: int, *corpus_args):
+        """Traceable search body; see BruteForceIndex.topk_body."""
+        return self._topk_impl(queries, k, *(corpus_args or self.corpus_args()))
+
+    def _topk_impl(self, queries, k: int, *shards):
+        """queries replicated in, [Q, k] replicated out."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis, shard_rows, n_valid = self.axis, self.shard_rows, self.n_valid
+        rows = jnp.arange(shard_rows)
+
+        def local_search(queries, *shard):
+            me = jax.lax.axis_index(axis)
+            if self.kind == "int8":
+                values, scales = shard
+                sims = jnp.dot(queries.astype(jnp.bfloat16),
+                               values.T.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32) * scales[:, 0][None, :]
+            else:
+                (corpus,) = shard
+                sims = jnp.dot(queries.astype(jnp.float32), corpus.T,
+                               preferred_element_type=jnp.float32)
+            sims = jnp.where(me * shard_rows + rows[None, :] < n_valid, sims, _NEG)
+            s, i = _select_topk(sims, k, self.approx_recall)
+            i = (i + me * shard_rows).astype(jnp.int32)
+            # k candidates per device ride ICI; merge is replicated work
+            s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, ndev*k]
+            i_all = jax.lax.all_gather(i, axis, axis=1, tiled=True)
+            s2, sel = jax.lax.top_k(s_all, k)
+            return s2, jnp.take_along_axis(i_all, sel, axis=1)
+
+        fn = shard_map(
+            local_search,
+            mesh=self.mesh,
+            in_specs=(P(), *([P(axis, None)] * len(shards))),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, *shards)
+
+    def search(self, queries, k: int = 10) -> SearchResult:
+        score = lambda q, k: self._jit_search(q, k, *self.corpus_args())
+        return _topk_chunked(score, jnp.asarray(queries), k, self.query_chunk)
 
 
 def save_index(index: "BruteForceIndex | Int8Index", path) -> None:
     """Persist a built index (npz): rebuildable without the towers."""
-    import numpy as np
-
     if isinstance(index, Int8Index):
+        values, scales = index._host_quantized()
         np.savez_compressed(
-            path, kind="int8", values=np.asarray(index.values),
-            scales=np.asarray(index.scales), query_chunk=index.query_chunk,
+            path, kind="int8", values=values, scales=scales,
+            query_chunk=index.query_chunk,
+            corpus_chunk=index.corpus_chunk or 0,
+            approx_recall=index.approx_recall or 0.0,
         )
     else:
         np.savez_compressed(
-            path, kind="exact", corpus=np.asarray(index.corpus),
+            path, kind="exact", corpus=index._host_corpus(),
             query_chunk=index.query_chunk,
+            corpus_chunk=index.corpus_chunk or 0,
+            approx_recall=index.approx_recall or 0.0,
         )
 
 
 def load_index(path) -> "BruteForceIndex | Int8Index":
-    import numpy as np
-
     with np.load(path) as z:
         kind = str(z["kind"])
+        corpus_chunk = int(z["corpus_chunk"]) if "corpus_chunk" in z else 0
+        approx = float(z["approx_recall"]) if "approx_recall" in z else 0.0
         if kind == "int8":
-            idx = Int8Index.__new__(Int8Index)
-            idx.values = jnp.asarray(z["values"])
-            idx.scales = jnp.asarray(z["scales"])
-            idx.query_chunk = int(z["query_chunk"])
-            idx._search = Int8Index._make_search(idx.values, idx.scales)
-            return idx
-        return BruteForceIndex(z["corpus"], query_chunk=int(z["query_chunk"]))
+            return Int8Index.from_quantized(
+                z["values"], z["scales"],
+                query_chunk=int(z["query_chunk"]),
+                corpus_chunk=corpus_chunk or None,
+                approx_recall=approx or None,
+            )
+        return BruteForceIndex(z["corpus"], query_chunk=int(z["query_chunk"]),
+                               corpus_chunk=corpus_chunk or None,
+                               approx_recall=approx or None)
 
 
 def recall_vs_exact(

@@ -1,13 +1,19 @@
 """Retrieval service: frozen towers + corpus index -> top-k companies.
 
 The end-to-end serving loop the reference never built (SURVEY.md §3.5):
-encode the company corpus once with the frozen company tower, build an exact
-or int8 index, then serve notice queries (raw features -> notice tower ->
-MIPS top-k) with a fixed-signature jitted path.
+encode the company corpus once with the frozen company tower, build an
+exact / int8 / mesh-sharded index, then serve notice queries (raw features
+-> notice tower -> MIPS top-k).
+
+Encode and search are fused into ONE jitted dispatch per query batch
+(`search_device`), and `qps_bench` pipelines batches (dispatch i+1 before
+fetching i's results) so host round-trip latency overlaps device compute —
+the dominant cost on a high-dispatch-latency link.
 """
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Literal
 
@@ -19,39 +25,83 @@ from jodalrob_twotower_tpu.config import TrainConfig
 from jodalrob_twotower_tpu.data.feature_store import FeatureStore
 from jodalrob_twotower_tpu.data.types import TowerBatch
 from jodalrob_twotower_tpu.evaluation.evaluator import Evaluator
-from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
-from jodalrob_twotower_tpu.serving.index import BruteForceIndex, Int8Index, SearchResult
+from jodalrob_twotower_tpu.serving.index import (
+    BruteForceIndex,
+    Int8Index,
+    SearchResult,
+    ShardedIndex,
+)
 
 
 class RetrievalService:
     def __init__(
         self,
-        model: TwoTowerModel,
+        model,
         cfg: TrainConfig,
         state,
         company_store: FeatureStore,
         *,
         index_kind: Literal["exact", "int8"] = "exact",
         query_chunk: int = 1024,
+        corpus_chunk: int | None = None,
+        approx_recall: float | None = None,
+        mesh=None,
+        precomputed_corpus_emb=None,
+        prebuilt_index=None,
     ) -> None:
         self.model = model
         self.cfg = cfg
         self.state = state
         self.company_store = company_store
         self._evaluator = Evaluator(model, cfg)
-        corpus_emb = self._evaluator.encode_corpus(
-            state, company_store.dense, company_store.cat_ids, side="company"
-        )
-        cls = {"exact": BruteForceIndex, "int8": Int8Index}[index_kind]
-        self.index = cls(corpus_emb, query_chunk=query_chunk)
+        if prebuilt_index is not None:
+            self.index = prebuilt_index
+        else:
+            if precomputed_corpus_emb is not None:
+                corpus_emb = precomputed_corpus_emb
+            else:
+                corpus_emb = self._evaluator.encode_corpus(
+                    state, company_store.dense, company_store.cat_ids, side="company"
+                )
+            if mesh is not None:
+                self.index = ShardedIndex(
+                    corpus_emb, mesh, kind=index_kind, query_chunk=query_chunk,
+                    approx_recall=approx_recall,
+                )
+            else:
+                cls = {"exact": BruteForceIndex, "int8": Int8Index}[index_kind]
+                self.index = cls(
+                    corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk,
+                    approx_recall=approx_recall,
+                )
         self._encode_notice = self._evaluator._encode_notice
+        # one dispatch per query batch: tower forward + MIPS fused in one jit.
+        # The corpus rides as explicit jit arguments — closing over it would
+        # embed it in the HLO as a constant (a 10M-row corpus is GBs of
+        # compile payload; fatal over a remote-compile relay).
+        from jodalrob_twotower_tpu.train.train_step import make_encode_fn
+
+        encode_body = make_encode_fn(model, "notice", jit=False)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _fused_impl(state, batch, k, *corpus_args):
+            return self.index.topk_body(encode_body(state, batch), k, *corpus_args)
+
+        self._fused = lambda state, batch, k: _fused_impl(
+            state, batch, k, *self.index.corpus_args()
+        )
 
     def encode_queries(self, batch: TowerBatch) -> jax.Array:
         return self._encode_notice(self.state, batch)
 
+    def search_device(self, batch: TowerBatch, k: int = 10):
+        """Fused encode+search; returns device arrays (pipelineable)."""
+        return self._fused(self.state, batch, k)
+
     def search(self, batch: TowerBatch, k: int = 10) -> SearchResult:
         """notice features -> top-k company rows + scores."""
-        return self.index.search(self.encode_queries(batch), k)
+        s, i = self.search_device(batch, k)
+        return SearchResult(np.asarray(s), np.asarray(i))
 
     def search_keys(self, batch: TowerBatch, k: int = 10) -> list[list[tuple[str, float]]]:
         """Same, resolved to company primary keys (the serving payload)."""
@@ -71,20 +121,35 @@ def qps_bench(
     batch_size: int = 1024,
     n_batches: int = 20,
     seed: int = 0,
+    pipeline_depth: int = 2,
 ) -> dict:
-    """Sustained queries/sec through encode + index search."""
+    """Sustained queries/sec through fused encode+search.
+
+    Keeps ``pipeline_depth`` batches in flight: batch i+1 is dispatched
+    before batch i's results are pulled to the host, so D2H and dispatch
+    latency overlap compute. Every result IS fetched to host numpy — the
+    loop measures real end-to-end serving, just not serially.
+    """
     rng = np.random.default_rng(seed)
     rows = rng.integers(0, len(query_store), size=(n_batches, batch_size))
+    batches = [query_store.gather(r) for r in rows]
     # warmup / compile
-    warm = query_store.gather(rows[0])
-    service.search(warm, k)
+    service.search(batches[0], k)
+    in_flight: list = []
+    results: list[SearchResult] = []
+
+    def drain(limit: int) -> None:
+        while len(in_flight) > limit:
+            s, i = in_flight.pop(0)
+            results.append(SearchResult(np.asarray(s), np.asarray(i)))
+
     t0 = time.perf_counter()
-    last = None
     for i in range(n_batches):
-        last = service.search(query_store.gather(rows[i]), k)
-    # SearchResult is already host numpy -> loop above is synchronous
+        in_flight.append(service.search_device(batches[i], k))
+        drain(pipeline_depth - 1)
+    drain(0)
     elapsed = time.perf_counter() - t0
-    assert last is not None and np.isfinite(last.scores).all()
+    assert len(results) == n_batches and np.isfinite(results[-1].scores).all()
     return {
         "qps": n_batches * batch_size / elapsed,
         "latency_ms_per_batch": elapsed / n_batches * 1e3,

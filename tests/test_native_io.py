@@ -91,6 +91,28 @@ def test_tfrecord_roundtrip(tmp_path, compress, rng):
     assert info["count"] == 10 and len(info["preview"]) == 2
 
 
+def test_count_and_search_records(tmp_path, rng):
+    from jodalrob_twotower_tpu.io.tfrecord import count_records, search_records
+
+    for fname, n in (("a.tfrecord", 7), ("b.tfrecord", 4)):
+        cols = {
+            "id": np.array([f"k{i}" for i in range(n)]),
+            "val": np.arange(n).astype(np.int64),
+        }
+        table_to_tfrecord(tmp_path / fname, cols, compress=False)
+    assert count_records(tmp_path / "a.tfrecord") == 7
+    assert count_records(str(tmp_path / "*.tfrecord")) == 11
+    assert count_records([tmp_path / "a.tfrecord", tmp_path / "b.tfrecord"]) == 11
+    # search by scalar (wrapped to the single-element feature list)
+    hits = search_records(tmp_path / "a.tfrecord", "val", 3)
+    assert len(hits) == 1 and hits[0]["id"] == [b"k3"]
+    hits = search_records(tmp_path / "a.tfrecord", "id", b"k5")
+    assert len(hits) == 1 and hits[0]["val"] == [5]
+    assert search_records(tmp_path / "a.tfrecord", "val", 99) == []
+    many = search_records(tmp_path / "a.tfrecord", "missing", 0, max_results=2)
+    assert many == []
+
+
 def test_tfrecord_corruption_detected(tmp_path):
     path = tmp_path / "x.tfrecord"
     with TFRecordWriter(path) as w:

@@ -110,6 +110,147 @@ def test_qps_bench_runs(service_setup):
     assert out["qps"] > 0 and out["corpus_size"] == len(ds.company_store)
 
 
+@pytest.mark.parametrize("cls", [BruteForceIndex, Int8Index])
+def test_corpus_chunked_scan_matches_single_shot(rng, cls):
+    """Chunk-scanned top-k (huge-corpus path) must equal the one-matmul path,
+    including when N is not a multiple of the chunk (padding is masked)."""
+    corpus = _unit(rng, 1000, 16)  # 1000 = 3*384 + 232: exercises padding
+    queries = _unit(rng, 24, 16)
+    single = cls(corpus).search(queries, k=7)
+    chunked = cls(corpus, corpus_chunk=384).search(queries, k=7)
+    np.testing.assert_array_equal(chunked.indices, single.indices)
+    np.testing.assert_allclose(chunked.scores, single.scores, rtol=1e-5, atol=1e-6)
+    assert chunked.indices.max() < 1000  # never returns a padding row
+
+
+def test_sharded_index_matches_single_device(rng):
+    """Row-sharded mesh search == single-device exact, incl. padded shards."""
+    from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+    from jodalrob_twotower_tpu.serving.index import ShardedIndex
+
+    mesh = make_mesh(jax.devices()[:8])
+    corpus = _unit(rng, 1003, 16)  # not a multiple of 8
+    queries = _unit(rng, 16, 16)
+    exact = BruteForceIndex(corpus).search(queries, k=9)
+    for kind in ("exact", "int8"):
+        sharded = ShardedIndex(corpus, mesh, kind=kind).search(queries, k=9)
+        assert sharded.indices.max() < 1003
+        if kind == "exact":
+            np.testing.assert_array_equal(sharded.indices, exact.indices)
+            np.testing.assert_allclose(sharded.scores, exact.scores, rtol=1e-5, atol=1e-6)
+        else:
+            assert recall_vs_exact(sharded, exact) >= 0.85
+
+
+def test_fused_search_device_matches_search(service_setup):
+    """search_device (one fused dispatch) == unfused encode->index search."""
+    ds, trainer, result, va = service_setup
+    svc = RetrievalService(
+        trainer.model, _CFG, result.state, ds.company_store, index_kind="exact"
+    )
+    batch = ds.notice_store.gather(va[:16, 0])
+    fused = svc.search(batch, k=5)
+    q = svc.encode_queries(batch)
+    unfused = svc.index.search(q, k=5)
+    np.testing.assert_array_equal(fused.indices, unfused.indices)
+    np.testing.assert_allclose(fused.scores, unfused.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_service_end_to_end(service_setup):
+    """RetrievalService over a mesh-sharded corpus retrieves trained positives."""
+    from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+
+    ds, trainer, result, va = service_setup
+    svc = RetrievalService(
+        trainer.model, _CFG, result.state, ds.company_store,
+        index_kind="int8", mesh=make_mesh(jax.devices()[:8]),
+    )
+    batch = ds.notice_store.gather(va[:32, 0])
+    res = svc.search(batch, k=10)
+    assert res.indices.shape == (32, 10)
+    hits = sum(int(va[i, 1]) in set(res.indices[i].tolist()) for i in range(32))
+    assert hits >= 5, f"only {hits}/32 positives in top-10 (sharded)"
+
+
+def test_qps_bench_pipelined(service_setup):
+    ds, trainer, result, _ = service_setup
+    svc = RetrievalService(
+        trainer.model, _CFG, result.state, ds.company_store,
+        index_kind="exact", corpus_chunk=512,
+    )
+    out = qps_bench(svc, ds.notice_store, k=10, batch_size=64, n_batches=5,
+                    pipeline_depth=3)
+    assert out["qps"] > 0 and out["corpus_size"] == len(ds.company_store)
+
+
+def test_chunked_index_save_load_roundtrip(tmp_path, rng):
+    from jodalrob_twotower_tpu.serving.index import load_index, save_index
+
+    corpus = _unit(rng, 700, 16)
+    queries = _unit(rng, 8, 16)
+    for cls in (BruteForceIndex, Int8Index):
+        idx = cls(corpus, corpus_chunk=256)
+        ref = idx.search(queries, k=5)
+        p = tmp_path / f"{cls.__name__}_chunked.npz"
+        save_index(idx, p)
+        loaded = load_index(p)
+        assert type(loaded) is cls and len(loaded) == 700
+        assert loaded.corpus_chunk == 256
+        out = loaded.search(queries, k=5)
+        np.testing.assert_array_equal(out.indices, ref.indices)
+        np.testing.assert_allclose(out.scores, ref.scores, rtol=1e-6)
+
+
+def test_approx_recall_candidate_selection(rng):
+    """approx_max_k selection (the TPU-fast path) keeps high recall vs exact,
+    in both single-shot and chunk-scanned modes."""
+    corpus = _unit(rng, 2000, 32)
+    queries = _unit(rng, 32, 32)
+    exact = BruteForceIndex(corpus).search(queries, k=10)
+    for kwargs in ({}, {"corpus_chunk": 640}):
+        approx = BruteForceIndex(corpus, approx_recall=0.95, **kwargs).search(
+            queries, k=10
+        )
+        r = recall_vs_exact(approx, exact)
+        assert r >= 0.9, f"approx recall too low ({kwargs}): {r}"
+        assert approx.indices.max() < 2000
+
+
+def test_device_built_int8_index_matches_host_built(rng):
+    """Device-resident build path (10M-corpus bench): quantize on device,
+    from_quantized without host round-trip, equals host-numpy build."""
+    import jax.numpy as jnp
+
+    from jodalrob_twotower_tpu.serving.index import quantize_int8
+
+    corpus = _unit(rng, 512, 16)
+    queries = _unit(rng, 8, 16)
+    host = Int8Index(corpus, corpus_chunk=128).search(queries, k=5)
+    dv, dscale = quantize_int8(jnp.asarray(corpus))
+    assert isinstance(dv, jax.Array) and dv.dtype == jnp.int8
+    dev_idx = Int8Index.from_quantized(dv, dscale, corpus_chunk=128)
+    dev = dev_idx.search(queries, k=5)
+    np.testing.assert_array_equal(dev.indices, host.indices)
+    np.testing.assert_allclose(dev.scores, host.scores, rtol=1e-6)
+
+
+def test_service_prebuilt_index(service_setup):
+    ds, trainer, result, va = service_setup
+    emb = trainer.evaluator.encode_corpus(
+        result.state, ds.company_store.dense, ds.company_store.cat_ids, side="company"
+    ) if hasattr(trainer, "evaluator") else None
+    svc_ref = RetrievalService(
+        trainer.model, _CFG, result.state, ds.company_store, index_kind="exact"
+    )
+    idx = BruteForceIndex(svc_ref.index.corpus, corpus_chunk=512)
+    svc = RetrievalService(
+        trainer.model, _CFG, result.state, ds.company_store, prebuilt_index=idx
+    )
+    batch = ds.notice_store.gather(va[:8, 0])
+    a, b = svc.search(batch, k=5), svc_ref.search(batch, k=5)
+    np.testing.assert_array_equal(a.indices, b.indices)
+
+
 def test_index_save_load_roundtrip(tmp_path, rng):
     from jodalrob_twotower_tpu.serving.index import load_index, save_index
 

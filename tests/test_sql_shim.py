@@ -6,6 +6,8 @@ import pytest
 from jodalrob_twotower_tpu.etl.sql import (
     DEFAULT_PK,
     DatabaseConnector,
+    build_bid_participants,
+    build_company_bid_history,
     build_pk_lookup,
     build_select,
     connection_url,
@@ -35,6 +37,27 @@ def test_build_pk_lookup_simple_and_composite():
         sql
         == 'SELECT * FROM "notice" WHERE ("bidntceno", "bidntceord") IN ((%s, %s), (%s, %s))'
     )
+
+
+def test_build_bid_participants():
+    sql = build_bid_participants(company_columns=["bizno", "prcbdramt"])
+    assert 'c."bizno", c."prcbdramt"' in sql
+    assert 'FROM "bid_two_tower" b' in sql
+    assert 'LEFT JOIN "company" c ON b."bizno" = c."bizno"' in sql
+    # parameterized, never interpolated (unlike the reference f-strings)
+    assert sql.count("%s") == 2 and "'" not in sql
+    assert "c.*" in build_bid_participants()
+
+
+def test_build_company_bid_history():
+    sql = build_company_bid_history(limit=25)
+    assert 'b."bidntceno", b."bidntceord"' in sql
+    assert 'n."bidnm", n."rgstdt"' in sql
+    assert 'ON b."bidntceno" = n."bidntceno" AND b."bidntceord" = n."bidntceord"' in sql
+    assert sql.count("%s") == 1
+    assert sql.endswith('ORDER BY n."rgstdt" DESC LIMIT 25')
+    with pytest.raises(ValueError, match="unsafe"):
+        build_company_bid_history(order_by="rgstdt; DROP")
 
 
 def test_connection_url_from_env():
