@@ -82,6 +82,32 @@ def timeit(name, fn, *args, n=20):
     return dt
 
 
+@jax.jit
+def one_scatter_unique(table, rows, grads):
+    """UNSAFE unless rows are duplicate-free; probes XLA's unique fast path."""
+    order = jnp.argsort(rows)
+    r_s = jnp.take(rows, order)
+    g_s = jnp.take(grads, order, axis=0)
+    return table.at[r_s].add(g_s, indices_are_sorted=True, unique_indices=True)
+
+
+@jax.jit
+def dedup_then_scatter(table, rows, grads):
+    """Safe: sort, segment-sum duplicates, scatter unique (N slots, zero-padded)."""
+    order = jnp.argsort(rows)
+    r_s = jnp.take(rows, order)
+    g_s = jnp.take(grads, order, axis=0)
+    seg_start = jnp.concatenate([jnp.ones((1,), bool), r_s[1:] != r_s[:-1]])
+    seg_id = jnp.cumsum(seg_start) - 1
+    summed = jax.ops.segment_sum(g_s, seg_id, num_segments=N)
+    uniq_rows = jax.ops.segment_max(r_s, seg_id, num_segments=N)
+    n_seg = seg_id[-1] + 1
+    valid = jnp.arange(N) < n_seg
+    uniq_rows = jnp.where(valid, uniq_rows, R)  # R = out-of-range drop
+    return table.at[uniq_rows].add(summed, indices_are_sorted=True,
+                                   unique_indices=True, mode="drop")
+
+
 if __name__ == "__main__":
     timeit("baseline", baseline, table, acc, rows, grads)
     timeit("sorted_two", sorted_two, table, acc, rows, grads)
@@ -98,3 +124,5 @@ if __name__ == "__main__":
             jnp.take(grads, order, axis=0), indices_are_sorted=True
         )
     timeit("one_scatter_srt", one_scatter_sorted, table, rows, grads)
+    timeit("one_scatter_uniq", one_scatter_unique, table, rows, grads)
+    timeit("dedup_scatter", dedup_then_scatter, table, rows, grads)
