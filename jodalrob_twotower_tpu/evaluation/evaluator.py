@@ -116,34 +116,86 @@ def corpus_retrieval_eval(
     *,
     ks: tuple[int, ...] = (10, 100),
     query_chunk: int = 1024,
+    corpus_chunk: int | None = None,
 ) -> CorpusEvalResult:
     """True retrieval eval: rank each query's positive against the FULL corpus.
 
     recall@k = fraction of queries whose positive lands in the top-k;
-    MRR over full-corpus rank. Computed as a chunked [q, N] matmul + rank
-    count — no materialized argsort, no python loops.
+    MRR over full-corpus rank. Rank is a pure count (#corpus rows scoring
+    strictly above the positive) — no argsort, no python loops, and with
+    ``corpus_chunk`` set the count streams over [Q, chunk] blocks under
+    `lax.scan`, so 10M-row corpora never materialize [Q, N] scores. The
+    corpus rides as a jit argument (a closure would bake it into the HLO).
     """
     nq = query_emb.shape[0]
     pos = jnp.asarray(np.asarray(positive_rows), jnp.int32)
+    n_valid = corpus_emb.shape[0]
+    if corpus_chunk is None and n_valid > 1_000_000:
+        # [query_chunk, N] f32 scores would exceed ~4 GB — stream instead
+        corpus_chunk = 262_144
 
-    @jax.jit
-    def ranks_for(queries, pos_rows):
-        sims = jnp.dot(queries, corpus_emb.T, preferred_element_type=jnp.float32)
-        pos_sim = jnp.take_along_axis(sims, pos_rows[:, None], axis=1)
-        return jnp.sum((sims > pos_sim).astype(jnp.int32), axis=1)
+    if corpus_chunk is None:
+
+        @jax.jit
+        def ranks_for(queries, pos_rows, corpus):
+            sims = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+            pos_sim = jnp.take_along_axis(sims, pos_rows[:, None], axis=1)
+            return jnp.sum((sims > pos_sim).astype(jnp.int32), axis=1)
+
+        corpus_arg = jnp.asarray(corpus_emb)
+    else:
+        from jodalrob_twotower_tpu.serving.index import _pad_chunks
+
+        chunks, _ = _pad_chunks(
+            corpus_emb if isinstance(corpus_emb, jax.Array)
+            else np.asarray(corpus_emb, np.float32),
+            corpus_chunk,
+        )
+        corpus_arg = jnp.asarray(chunks)  # [nc, C, D]
+
+        @jax.jit
+        def ranks_for(queries, pos_rows, corpus):
+            nc, c, _ = corpus.shape
+            rows = jnp.arange(c)
+            # positive's score from its row directly (no [Q, N] needed)
+            pos_vec = _flat_take(corpus, pos_rows, c)
+            pos_sim = jnp.sum(queries * pos_vec, axis=1, keepdims=True)
+
+            def body(count, ci):
+                sims = jnp.dot(queries, corpus[ci].T,
+                               preferred_element_type=jnp.float32)
+                live = ci * c + rows[None, :] < n_valid
+                count += jnp.sum(((sims > pos_sim) & live).astype(jnp.int32), axis=1)
+                return count, None
+
+            count, _ = jax.lax.scan(
+                body, jnp.zeros((queries.shape[0],), jnp.int32), jnp.arange(nc)
+            )
+            return count
 
     all_ranks = []
     for start in range(0, nq, query_chunk):
         all_ranks.append(
-            np.asarray(ranks_for(query_emb[start : start + query_chunk], pos[start : start + query_chunk]))
+            np.asarray(
+                ranks_for(
+                    query_emb[start : start + query_chunk],
+                    pos[start : start + query_chunk],
+                    corpus_arg,
+                )
+            )
         )
     ranks = np.concatenate(all_ranks)
     return CorpusEvalResult(
         recall={k: float((ranks < k).mean()) for k in ks},
         mrr=float((1.0 / (ranks + 1.0)).mean()),
         num_queries=nq,
-        corpus_size=corpus_emb.shape[0],
+        corpus_size=n_valid,
     )
+
+
+def _flat_take(chunked: jax.Array, rows: jax.Array, chunk: int) -> jax.Array:
+    """take() rows from a [nc, C, D] chunk-stacked array by flat row index."""
+    return chunked[rows // chunk, rows % chunk]
 
 
 def demonstrate_predictions(

@@ -73,6 +73,25 @@ def test_corpus_eval_reasonable(trained_result):
     assert 0.0 < corpus.mrr <= 1.0
 
 
+def test_corpus_eval_chunked_matches_unchunked(rng):
+    """Chunk-scanned rank counting (10M-corpus path) == one-shot, including
+    padding masking (negative positive-scores must not rank padded zeros)."""
+    import jax.numpy as jnp
+
+    d = 16
+    q = rng.normal(size=(40, d)).astype(np.float32)
+    corpus = rng.normal(size=(333, d)).astype(np.float32)  # not a chunk multiple
+    # make some positives score negative so zero-padding rows would outrank
+    pos = rng.integers(0, 333, size=40)
+    ref = corpus_retrieval_eval(jnp.asarray(q), jnp.asarray(corpus), pos, ks=(5, 50))
+    chunked = corpus_retrieval_eval(
+        jnp.asarray(q), jnp.asarray(corpus), pos, ks=(5, 50), corpus_chunk=128
+    )
+    assert chunked.corpus_size == 333
+    assert chunked.recall == ref.recall
+    assert abs(chunked.mrr - ref.mrr) < 1e-9
+
+
 def test_ledger_written(trained_result):
     tmp, cfg, _, _, result = trained_result
     rows = read_results(cfg.results_csv)
