@@ -122,10 +122,17 @@ def corpus_retrieval_eval(
 
     recall@k = fraction of queries whose positive lands in the top-k;
     MRR over full-corpus rank. Rank is a pure count (#corpus rows scoring
-    strictly above the positive) — no argsort, no python loops, and with
-    ``corpus_chunk`` set the count streams over [Q, chunk] blocks under
-    `lax.scan`, so 10M-row corpora never materialize [Q, N] scores. The
-    corpus rides as a jit argument (a closure would bake it into the HLO).
+    strictly above the positive, the positive's own column excluded) — no
+    argsort, no python loops, and with ``corpus_chunk`` set the count
+    streams over [Q, chunk] blocks under `lax.scan`, so 10M-row corpora
+    never materialize [Q, N] scores. The corpus rides as a jit argument (a
+    closure would bake it into the HLO).
+
+    The positive's score is always computed on the VPU from its gathered
+    row (not read out of the MXU score matrix): on TPU the f32 matmul runs
+    as bf16 passes, so the two differ in the last bits — using one basis in
+    both modes keeps one-shot and chunk-scanned ranks exactly equal, and
+    masking the positive's column makes self-comparison moot.
     """
     nq = query_emb.shape[0]
     pos = jnp.asarray(np.asarray(positive_rows), jnp.int32)
@@ -139,8 +146,10 @@ def corpus_retrieval_eval(
         @jax.jit
         def ranks_for(queries, pos_rows, corpus):
             sims = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
-            pos_sim = jnp.take_along_axis(sims, pos_rows[:, None], axis=1)
-            return jnp.sum((sims > pos_sim).astype(jnp.int32), axis=1)
+            pos_vec = jnp.take(corpus, pos_rows, axis=0)
+            pos_sim = jnp.sum(queries * pos_vec, axis=1, keepdims=True)
+            not_self = jnp.arange(corpus.shape[0])[None, :] != pos_rows[:, None]
+            return jnp.sum(((sims > pos_sim) & not_self).astype(jnp.int32), axis=1)
 
         corpus_arg = jnp.asarray(corpus_emb)
     else:
@@ -164,7 +173,8 @@ def corpus_retrieval_eval(
             def body(count, ci):
                 sims = jnp.dot(queries, corpus[ci].T,
                                preferred_element_type=jnp.float32)
-                live = ci * c + rows[None, :] < n_valid
+                gl = ci * c + rows[None, :]
+                live = (gl < n_valid) & (gl != pos_rows[:, None])
                 count += jnp.sum(((sims > pos_sim) & live).astype(jnp.int32), axis=1)
                 return count, None
 

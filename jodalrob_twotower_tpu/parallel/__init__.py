@@ -3,3 +3,7 @@ from jodalrob_twotower_tpu.parallel.sharded_train import (  # noqa: F401
     make_sharded_train,
     state_shardings,
 )
+from jodalrob_twotower_tpu.parallel.sharded_sparse import (  # noqa: F401
+    make_sharded_sparse_train,
+    sparse_state_shardings,
+)

@@ -1,0 +1,116 @@
+"""Row-sharded SPARSE-table training: O(batch) updates on a mesh.
+
+BASELINE config 3 at full spec: 10M-row embedding tables row-sharded over
+the chips of a host, trained with the O(batch) sparse rowwise-Adagrad path
+(train/sparse_tables.py) rather than dense table gradients.
+
+Sharding layout:
+
+* `SparseTable.table` [R, D] and `.accumulator` [R, 1] — row-sharded over
+  the ``data`` axis (R is 128-aligned by the unified-table layout,
+  models/embedding.py, so it divides any axis up to 128). Per-chip HBM
+  holds 1/n of the table AND 1/n of the optimizer state.
+* dense tower params / optimizer state / batch_stats — replicated.
+* `pair_idx` [B, 2] — batch-sharded; feature stores — replicated (they are
+  input features, small next to the tables).
+
+The step function is the unmodified sparse step under `jax.jit` with these
+shardings: XLA partitions the out-of-autodiff `jnp.take` into collective
+gathers over the table shards, keeps the compact [B·K, D] activation
+cotangents batch-sharded, and lowers the touched-rows `.at[].add` into a
+per-shard masked scatter after an id/update exchange — the same algorithm
+`sharded_embedding.py` writes by hand, chosen by the partitioner here.
+
+Verified numerically identical to the single-device sparse path on the
+8-virtual-device CPU mesh (tests/test_sharded_sparse.py).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from jodalrob_twotower_tpu.config import TrainConfig
+from jodalrob_twotower_tpu.data.types import PairBatch
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    replicated,
+    row_sharding,
+)
+from jodalrob_twotower_tpu.train.sparse_tables import (
+    SparseTrainState,
+    create_sparse_train_state,
+    make_sparse_train_step,
+)
+
+
+def sparse_state_shardings(state: SparseTrainState, mesh) -> SparseTrainState:
+    """Row-shard the two SparseTables; replicate everything else."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def rule(path, leaf):
+        in_table = any(
+            getattr(k, "name", getattr(k, "key", None))
+            in ("notice_table", "company_table")
+            for k in path
+        )
+        if (
+            in_table
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] % max(n_data, 1) == 0
+            and leaf.shape[0] >= n_data
+        ):
+            return row_sharding(mesh, leaf.ndim)
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def make_sharded_sparse_train(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    mesh,
+    example_batch: PairBatch,
+    total_steps: int,
+    *,
+    with_metrics: bool = False,
+):
+    """Build (sharded_state, jitted_step, put_batch, put_store).
+
+    ``jitted_step(state, pair_idx, notice_store, company_store)`` is the
+    sparse O(batch) step compiled over the mesh; stores are (dense, cat_ids)
+    device tuples from ``put_store``.
+    """
+    if cfg.loss.use_fused_logits and mesh.size > 1:
+        raise ValueError(
+            "use_fused_logits is single-device; use the XLA loss path under "
+            "a mesh (see parallel/sharded_train.py for the same guard)"
+        )
+    state, tx = create_sparse_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
+    )
+    shardings = sparse_state_shardings(state, mesh)
+    state = jax.device_put(state, shardings)
+
+    step_fn = make_sparse_train_step(
+        model, cfg, tx, total_steps, jit=False, with_metrics=with_metrics
+    )
+    idx_sharding = batch_sharding(mesh)
+    rep = replicated(mesh)
+    store_shardings = (rep, rep)
+    train_step = jax.jit(
+        step_fn,
+        in_shardings=(shardings, idx_sharding, store_shardings, store_shardings),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+
+    def put_batch(pair_idx):
+        return jax.device_put(pair_idx, idx_sharding)
+
+    def put_store(store):
+        return tuple(jax.device_put(x, rep) for x in store)
+
+    return state, train_step, put_batch, put_store

@@ -1,0 +1,161 @@
+"""Row-sharded sparse-table training == single-device sparse training.
+
+BASELINE config 3's "row-sharded" requirement: the O(batch) sparse
+rowwise-Adagrad path runs with tables + optimizer state sharded over the
+mesh and must match the single-device path bit-for-bit (duplicate-free
+batches; the sparse path's per-occurrence semantics are exact there).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu.config import (
+    DataConfig,
+    LossConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+    make_sharded_sparse_train,
+    sparse_state_shardings,
+)
+from jodalrob_twotower_tpu.schema import CategoricalSpec, NumericSpec, SideSchema, TwoTowerSchema
+from jodalrob_twotower_tpu.train.sparse_tables import (
+    create_sparse_train_state,
+    make_sparse_train_step,
+    merged_params,
+)
+from jodalrob_twotower_tpu.train.train_step import device_store
+
+_CFG = TrainConfig(
+    model=ModelConfig(
+        categorical_embedding_dim=8,
+        dense_projection_dim=16,
+        tower_hidden_dims=(32, 16),
+        final_embedding_dim=8,
+        dropout_rate=0.0,
+        compute_dtype="float32",
+        use_batch_norm=False,
+    ),
+    loss=LossConfig(temperature=0.5, use_fused_logits=False),
+    optimizer=OptimizerConfig(learning_rate=1e-2, embedding_learning_rate=5e-2),
+    data=DataConfig(batch_size=32),
+    results_csv="",
+)
+
+
+def _schema(vocab=512):
+    def side(table):
+        return SideSchema(
+            table=table,
+            pk=("id",),
+            numeric=tuple(NumericSpec(f"n{i}") for i in range(4)),
+            categorical=tuple(CategoricalSpec(f"c{i}", vocab) for i in range(3)),
+        )
+
+    return TwoTowerSchema(notice=side("notice"), company=side("company"))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    schema = _schema()
+    ds = make_synthetic_dataset(
+        schema, n_notices=256, n_companies=256, n_pairs=512, n_clusters=8, seed=3
+    )
+    model = TwoTowerModel(schema, _CFG.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:32])
+    return schema, ds, model, warm
+
+
+def _dupe_free_idx(ds, b, seed):
+    """Batches whose notice rows and company rows are each duplicate-free
+    (per-occurrence sparse updates == dense semantics exactly)."""
+    rng = np.random.default_rng(seed)
+    n = rng.permutation(len(ds.notice_store))[:b]
+    c = rng.permutation(len(ds.company_store))[:b]
+    return np.stack([n, c], axis=1).astype(np.int32)
+
+
+def test_sharded_sparse_matches_single_device(setup):
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+
+    # single-device reference
+    state1, tx1 = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(_CFG.seed), warm, 10)
+    step1 = make_sparse_train_step(model, _CFG, tx1, 10)
+    # sharded
+    state8, step8, put_batch, put_store = make_sharded_sparse_train(
+        model, _CFG, mesh, warm, 10
+    )
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+    n8, c8 = put_store(n_store), put_store(c_store)
+
+    for i in range(3):
+        idx = _dupe_free_idx(ds, 32, seed=i)
+        state1, m1 = step1(state1, jax.numpy.asarray(idx), n_store, c_store)
+        state8, m8 = step8(state8, put_batch(idx), n8, c8)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
+
+    # tables identical after 3 steps (gathered from shards)
+    for side in ("notice_table", "company_table"):
+        t1 = np.asarray(getattr(state1, side).table)
+        t8 = np.asarray(getattr(state8, side).table)
+        np.testing.assert_allclose(t1, t8, rtol=2e-5, atol=1e-6)
+        a1 = np.asarray(getattr(state1, side).accumulator)
+        a8 = np.asarray(getattr(state8, side).accumulator)
+        np.testing.assert_allclose(a1, a8, rtol=2e-5, atol=1e-6)
+    # dense params identical too
+    p1 = jax.tree_util.tree_leaves(state1.dense_params)
+    p8 = jax.tree_util.tree_leaves(state8.dense_params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_sparse_tables_actually_sharded(setup):
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+    state8, _, _, _ = make_sharded_sparse_train(model, _CFG, mesh, warm, 10)
+    sh = state8.notice_table.table.sharding
+    assert sh.is_fully_replicated is False
+    # each device holds 1/8 of the rows
+    shard_shapes = {s.data.shape for s in state8.notice_table.table.addressable_shards}
+    r = state8.notice_table.table.shape[0]
+    assert shard_shapes == {(r // 8, state8.notice_table.table.shape[1])}
+    acc_shapes = {s.data.shape for s in state8.notice_table.accumulator.addressable_shards}
+    assert acc_shapes == {(r // 8, 1)}
+
+
+def test_sharded_sparse_learns(setup):
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+    state, step, put_batch, put_store = make_sharded_sparse_train(
+        model, _CFG, mesh, warm, 60, with_metrics=True
+    )
+    n8 = put_store(device_store(ds.notice_store))
+    c8 = put_store(device_store(ds.company_store))
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(30):
+        # real positive pairs (duplicates allowed: learning only)
+        idx = ds.pairs[rng.integers(0, len(ds.pairs), size=32)].astype(np.int32)
+        state, m = step(state, put_batch(idx), n8, c8)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.3
+
+
+def test_fused_logits_guard(setup):
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = dataclasses.replace(_CFG, loss=LossConfig(use_fused_logits=True))
+    with pytest.raises(ValueError, match="use_fused_logits"):
+        make_sharded_sparse_train(model, cfg, mesh, warm, 10)
