@@ -2,8 +2,13 @@
 
 Flagship = the reference-shaped model (notice 29 num + 32 cat + 1 text(768),
 company 1 num + 6 cat, towers [512,256]->128 — SURVEY.md §2.2/2.3) trained
-with bidirectional in-batch-negative CE on synthetic stores, full input
-pipeline (background host assembly + device prefetch) + fused jit train step.
+with bidirectional in-batch-negative CE, fused jit train step, features AND
+pair set device-resident with on-device batch sampling
+(train_step.make_sampled_train_steps): the host sends one PRNG key per
+16-step dispatch. Besides being faster, this makes the measurement immune
+to tunnel H2D congestion, which can inflate the host-fed path (1 MB of
+indices per dispatch) by >10x on the shared link. The host-fed streaming
+pipeline is benchmarked separately (bench_suite.py train_hostfed).
 
 Prints ONE JSON line. vs_baseline is against the reference's best sustained
 throughput: 23 it/s @ batch 256 = 5,888 examples/s on its single GPU
@@ -30,15 +35,14 @@ def main() -> None:
         OptimizerConfig,
         TrainConfig,
     )
-    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, index_batches
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
     from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
     from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
     from jodalrob_twotower_tpu.schema import reference_shaped_schema
     from jodalrob_twotower_tpu.train.train_step import (
         create_train_state,
         device_store,
-        make_indexed_train_step,
-        make_scanned_train_steps,
+        make_sampled_train_steps,
     )
 
     batch_size = 8192
@@ -62,50 +66,35 @@ def main() -> None:
     warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:batch_size])
     state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 1000)
 
-    # feature matrices live in HBM for the whole run; steps gather on-device
-    # and the host sends only [B, 2] int32 indices per step. (bf16 storage
-    # was tried and is ~20% slower here: the gather's sublane relayout costs
-    # more than the halved bytes save.)
+    # feature matrices AND the pair set live in HBM for the whole run;
+    # batches are sampled on-device from one PRNG key per dispatch. (bf16
+    # feature storage was tried and is ~20% slower here: the gather's
+    # sublane relayout costs more than the halved bytes save.)
     n_store = device_store(ds.notice_store)
     c_store = device_store(ds.company_store)
+    pairs_dev = jax.device_put(ds.pairs.astype(np.int32))
     # scan n_inner steps per dispatch: amortizes host dispatch latency
     n_inner = 16
-    train_steps = make_scanned_train_steps(model, cfg, tx, n_inner)
-
-    def idx_stacks(seed: int):
-        stack = []
-        for idx in index_batches(ds.pairs, batch_size, seed=seed, prefetch=2):
-            stack.append(idx)
-            if len(stack) == n_inner:
-                yield jax.numpy.stack(stack)
-                stack.clear()
+    train_steps = make_sampled_train_steps(model, cfg, tx, n_inner, batch_size)
+    key = jax.random.PRNGKey(1)
 
     # warmup: compile + first dispatch
-    warm_idx = jax.device_put(
-        np.broadcast_to(
-            ds.pairs[:batch_size].astype(np.int32), (n_inner, batch_size, 2)
-        ).copy()
-    )
-    state, metrics = train_steps(state, warm_idx, n_store, c_store)
+    state, metrics = train_steps(state, key, pairs_dev, n_store, c_store)
     float(metrics["loss"][-1])
 
-    # timed: full pipeline (index streaming + device gather + fused steps).
-    # NOTE: fetch the loss VALUE each dispatch — under the tunneled runtime
-    # block_until_ready returns before execution finishes, so only a value
-    # fetch is an honest barrier.
+    # timed. NOTE: fetch the loss VALUE each dispatch — under the tunneled
+    # runtime block_until_ready returns before execution finishes, so only a
+    # value fetch is an honest barrier.
     n_steps = 480
     steps = 0
     start = time.perf_counter()
-    epoch = 0
     last_loss = float("nan")
     while steps < n_steps:
-        for stack in idx_stacks(epoch):
-            state, metrics = train_steps(state, stack, n_store, c_store)
-            last_loss = metrics["loss"]
-            steps += n_inner
-            if steps >= n_steps:
-                break
-        epoch += 1
+        state, metrics = train_steps(
+            state, jax.random.fold_in(key, steps), pairs_dev, n_store, c_store
+        )
+        last_loss = metrics["loss"]
+        steps += n_inner
     assert np.isfinite(float(last_loss[-1]))
     elapsed = time.perf_counter() - start
 

@@ -115,6 +115,61 @@ def train_scaled(sparse: bool = False) -> None:
     )
 
 
+def train_hostfed() -> None:
+    """Host-fed index streaming (the full input pipeline): [n_inner, B, 2]
+    index stacks per dispatch. Sensitive to tunnel H2D congestion — compare
+    with the headline on-device-sampled number to quantify it."""
+    import jax
+
+    from jodalrob_twotower_tpu.config import LossConfig, ModelConfig, OptimizerConfig, TrainConfig
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, index_batches
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.schema import reference_shaped_schema
+    from jodalrob_twotower_tpu.train.train_step import (
+        create_train_state, device_store, make_scanned_train_steps)
+
+    b = 8192
+    cfg = TrainConfig(model=ModelConfig(),
+                      loss=LossConfig(temperature=1.0, use_fused_logits=True),
+                      optimizer=OptimizerConfig())
+    schema = reference_shaped_schema()
+    ds = make_synthetic_dataset(schema, n_notices=100_000, n_companies=100_000,
+                                n_pairs=400_000, n_clusters=256, seed=0)
+    model = TwoTowerModel(schema, cfg.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 1000)
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    n_inner = 16
+    steps_fn = make_scanned_train_steps(model, cfg, tx, n_inner)
+
+    def idx_stacks(seed):
+        stack = []
+        for idx in index_batches(ds.pairs, b, seed=seed, prefetch=2):
+            stack.append(idx)
+            if len(stack) == n_inner:
+                yield jax.numpy.stack(stack)
+                stack.clear()
+
+    warm_idx = jax.device_put(np.broadcast_to(
+        ds.pairs[:b].astype(np.int32), (n_inner, b, 2)).copy())
+    state, m = steps_fn(state, warm_idx, n_store, c_store)
+    float(m["loss"][-1])
+    n_steps, steps, epoch = 160, 0, 0
+    t0 = time.perf_counter()
+    while steps < n_steps:
+        for stack in idx_stacks(epoch):
+            state, m = steps_fn(state, stack, n_store, c_store)
+            steps += n_inner
+            if steps >= n_steps:
+                break
+        epoch += 1
+    float(m["loss"][-1])
+    dt = time.perf_counter() - t0
+    _emit("train_hostfed", examples_per_sec=round(n_steps * b / dt, 1),
+          step_ms=round(dt / n_steps * 1e3, 3), batch=b)
+
+
 def serving(kind: str) -> None:
     import jax
 
@@ -235,6 +290,7 @@ def corpus_eval() -> None:
 
 
 BENCHES = {
+    "train_hostfed": train_hostfed,
     "train_scaled": train_scaled,
     "train_scaled_sparse": lambda: train_scaled(sparse=True),
     "serving_exact": lambda: serving("exact"),

@@ -121,6 +121,62 @@ def test_step_counter_and_determinism(tiny_dataset):
     assert float(m1["loss"]) == float(m1b["loss"])
 
 
+def test_scanned_steps_match_single_steps(tiny_dataset):
+    """lax.scan multi-step dispatch == the same N indexed single steps."""
+    from jodalrob_twotower_tpu.train.train_step import (
+        device_store,
+        make_indexed_train_step,
+        make_scanned_train_steps,
+    )
+
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:32])
+    state, tx = create_train_state(model, _CFG, jax.random.PRNGKey(0), warm, 10)
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    idx = ds.pairs[:96].astype(np.int32).reshape(3, 32, 2)
+    single = make_indexed_train_step(model, _CFG, tx, donate=False)
+    s1 = state
+    singles = []
+    for i in range(3):
+        s1, m = single(s1, jnp.asarray(idx[i]), n_store, c_store)
+        singles.append(float(m["loss"]))
+    scanned = make_scanned_train_steps(model, _CFG, tx, 3, donate=False)
+    s3, m3 = scanned(state, jnp.asarray(idx), n_store, c_store)
+    np.testing.assert_allclose(np.asarray(m3["loss"]), singles, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_sampled_steps_learn_and_are_deterministic(tiny_dataset):
+    """On-device batch sampling (bench headline path): deterministic per key,
+    drives the loss down on planted clusters."""
+    from jodalrob_twotower_tpu.train.train_step import (
+        device_store,
+        make_sampled_train_steps,
+    )
+
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
+    state, tx = create_train_state(model, _CFG, jax.random.PRNGKey(0), warm, 200)
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    pairs_dev = jnp.asarray(ds.pairs.astype(np.int32))
+    steps = make_sampled_train_steps(model, _CFG, tx, 8, 64, donate=False)
+    key = jax.random.PRNGKey(7)
+    s_a, m_a = steps(state, key, pairs_dev, n_store, c_store)
+    s_b, m_b = steps(state, key, pairs_dev, n_store, c_store)
+    np.testing.assert_array_equal(np.asarray(m_a["loss"]), np.asarray(m_b["loss"]))
+    # run 10 dispatches (80 steps) and require clear learning
+    s = state
+    losses = []
+    for d in range(10):
+        s, m = steps(s, jax.random.fold_in(key, d), pairs_dev, n_store, c_store)
+        losses.extend(np.asarray(m["loss"]).tolist())
+    assert int(s.step) == 80
+    assert np.mean(losses[-8:]) < np.mean(losses[:8]) - 0.5
+
+
 def test_encode_fn_matches_forward(tiny_dataset):
     ds = tiny_dataset
     model = TwoTowerModel(ds.schema, _CFG.model)
