@@ -76,13 +76,20 @@ def make_sharded_sparse_train(
     total_steps: int,
     *,
     with_metrics: bool = False,
+    n_inner: int | None = None,
 ):
-    """Build (sharded_state, jitted_step, put_batch, put_store).
+    """Build (sharded_state, jitted_step, put_batch, put_store[, scan_steps]).
 
     ``jitted_step(state, pair_idx, notice_store, company_store)`` is the
     sparse O(batch) step compiled over the mesh; stores are (dense, cat_ids)
-    device tuples from ``put_store``.
+    device tuples from ``put_store``. With ``n_inner`` set, a fifth return
+    value runs n_inner steps per dispatch via lax.scan
+    (idx stack [n_inner, B, 2], batch dim sharded).
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS as _DATA
+
     if cfg.loss.use_fused_logits and mesh.size > 1:
         raise ValueError(
             "use_fused_logits is single-device; use the XLA loss path under "
@@ -108,9 +115,36 @@ def make_sharded_sparse_train(
     )
 
     def put_batch(pair_idx):
-        return jax.device_put(pair_idx, idx_sharding)
+        sh = (
+            NamedSharding(mesh, P(None, _DATA, None))
+            if getattr(pair_idx, "ndim", 2) == 3
+            else idx_sharding
+        )
+        return jax.device_put(pair_idx, sh)
 
     def put_store(store):
         return tuple(jax.device_put(x, rep) for x in store)
 
-    return state, train_step, put_batch, put_store
+    if n_inner is None:
+        return state, train_step, put_batch, put_store
+
+    inner = make_sparse_train_step(model, cfg, tx, total_steps, jit=False)
+
+    def scan_fn(st, idx_stack, n_store, c_store):
+        def body(carry, idx):
+            return inner(carry, idx, n_store, c_store)
+
+        return jax.lax.scan(body, st, idx_stack)
+
+    scan_steps = jax.jit(
+        scan_fn,
+        in_shardings=(
+            shardings,
+            NamedSharding(mesh, P(None, _DATA, None)),
+            store_shardings,
+            store_shardings,
+        ),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+    return state, train_step, put_batch, put_store, scan_steps

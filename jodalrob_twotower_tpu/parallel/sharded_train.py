@@ -110,3 +110,86 @@ def make_sharded_train(
         return jax.tree.map(lambda x: jax.device_put(x, b_shard), batch)
 
     return state, train_step, shard_batch
+
+
+def make_sharded_indexed_train(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    mesh,
+    example_batch: PairBatch,
+    total_steps: int,
+    *,
+    n_inner: int = 8,
+):
+    """Sharded INDEXED training: device-resident stores + [B, 2] pair indices
+    per step, the Trainer's hot path, compiled over a mesh.
+
+    Stores are replicated (input features; small next to the tables), the
+    index batch is sharded on dim 0 so each chip gathers and computes only
+    its batch shard, tables are row-sharded per ``state_shardings``, and the
+    in-batch-negative logits all-gather one side's embeddings (global
+    negatives — single-device semantics at any mesh size).
+
+    Returns (state, tx, scan_steps, single_step, put_idx, put_store):
+      scan_steps(state, idx_stack [n_inner, B, 2], n_store, c_store)
+      single_step(state, idx [B, 2], n_store, c_store)  (with metrics)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jodalrob_twotower_tpu.train.train_step import (
+        make_indexed_train_step,
+    )
+
+    if cfg.loss.use_fused_logits and mesh.size > 1:
+        raise ValueError(
+            "use_fused_logits is single-device; use the XLA loss path under "
+            "a mesh (same guard as make_sharded_train)"
+        )
+    n_data = mesh.shape[DATA_AXIS]
+    if example_batch.batch_size % max(n_data, 1):
+        raise ValueError(
+            f"batch_size {example_batch.batch_size} must divide the data "
+            f"axis ({n_data}) to shard the batch dim"
+        )
+    state, tx = create_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
+    )
+    shardings = state_shardings(
+        state, mesh, shard_tables=cfg.mesh.embedding_sharding != "replicated"
+    )
+    state = jax.device_put(state, shardings)
+    rep = replicated(mesh)
+    idx_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    stack_sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    store_sh = (rep, rep)
+
+    inner = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=False)
+
+    def scan_fn(st, idx_stack, n_store, c_store):
+        def body(carry, idx):
+            return inner(carry, idx, n_store, c_store)
+
+        return jax.lax.scan(body, st, idx_stack)
+
+    scan_steps = jax.jit(
+        scan_fn,
+        in_shardings=(shardings, stack_sharding, store_sh, store_sh),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+    single = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=True)
+    single_step = jax.jit(
+        single,
+        in_shardings=(shardings, idx_sharding, store_sh, store_sh),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+
+    def put_idx(idx):
+        sh = stack_sharding if idx.ndim == 3 else idx_sharding
+        return jax.device_put(idx, sh)
+
+    def put_store(store):
+        return tuple(jax.device_put(x, rep) for x in store)
+
+    return state, tx, scan_steps, single_step, put_idx, put_store

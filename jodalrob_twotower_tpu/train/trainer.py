@@ -65,15 +65,20 @@ class Trainer:
         notice_store: FeatureStore,
         company_store: FeatureStore,
         *,
+        mesh=None,
         log_fn: Callable[[str], None] = print,
     ) -> None:
+        """``mesh``: a `jax.sharding.Mesh` (parallel.mesh.make_mesh) turns the
+        whole driver multi-chip — tables row-sharded, batches sharded, global
+        in-batch negatives preserved. None = single device."""
         self.cfg = cfg
         self.schema = schema
         self.notice_store = notice_store
         self.company_store = company_store
+        self.mesh = mesh
         from jodalrob_twotower_tpu.models import build_model
 
-        self.model = build_model(schema, cfg, None)
+        self.model = build_model(schema, cfg, mesh)
         self.log = log_fn
         self.evaluator = Evaluator(self.model, cfg)
         self._metrics_logger = None
@@ -110,20 +115,60 @@ class Trainer:
             else np.asarray(next(iter(batch_source(0))), np.int64)
         )
         example = assemble_pair_batch(self.notice_store, self.company_store, example_rows)
-        if cfg.sparse_tables:
+        n_inner = max(min(n_inner, steps_per_epoch), 1)
+        put_idx = jax.device_put
+        put_store = None
+        if self.mesh is not None:
+            # multi-chip: tables row-sharded, batch dim sharded, stores
+            # replicated; global in-batch negatives preserved
+            if cfg.sparse_tables:
+                from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+                    make_sharded_sparse_train,
+                )
+
+                state, single_step, put_idx, put_store, scan_steps = (
+                    make_sharded_sparse_train(
+                        self.model, cfg, self.mesh, example, total_steps,
+                        with_metrics=True, n_inner=n_inner,
+                    )
+                )
+            else:
+                from jodalrob_twotower_tpu.parallel.sharded_train import (
+                    make_sharded_indexed_train,
+                )
+
+                state, tx, scan_steps, single_step, put_idx, put_store = (
+                    make_sharded_indexed_train(
+                        self.model, cfg, self.mesh, example, total_steps,
+                        n_inner=n_inner,
+                    )
+                )
+        elif cfg.sparse_tables:
             from jodalrob_twotower_tpu.train.sparse_tables import (
                 create_sparse_train_state,
-                merged_params,
+                make_scanned_sparse_steps,
+                make_sparse_train_step,
             )
 
             state, tx = create_sparse_train_state(
                 self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
             )
-            num_params = _count_params(merged_params(state))
+            scan_steps = make_scanned_sparse_steps(self.model, cfg, tx, total_steps, n_inner)
+            single_step = make_sparse_train_step(
+                self.model, cfg, tx, total_steps, with_metrics=True
+            )
         else:
             state, tx = create_train_state(
                 self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
             )
+            scan_steps = make_scanned_train_steps(self.model, cfg, tx, n_inner)
+            single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
+
+        if cfg.sparse_tables:
+            from jodalrob_twotower_tpu.train.sparse_tables import merged_params
+
+            num_params = _count_params(merged_params(state))
+        else:
             num_params = _count_params(state.params)
         self.log(f"model: {num_params:,} params; {steps_per_epoch} steps/epoch x {cfg.optimizer.num_epochs} epochs")
 
@@ -142,20 +187,8 @@ class Trainer:
         # device-resident stores; indices are the only per-step H2D traffic
         n_store = device_store(self.notice_store)
         c_store = device_store(self.company_store)
-        n_inner = max(min(n_inner, steps_per_epoch), 1)
-        if cfg.sparse_tables:
-            from jodalrob_twotower_tpu.train.sparse_tables import (
-                make_scanned_sparse_steps,
-                make_sparse_train_step,
-            )
-
-            scan_steps = make_scanned_sparse_steps(self.model, cfg, tx, total_steps, n_inner)
-            single_step = make_sparse_train_step(
-                self.model, cfg, tx, total_steps, with_metrics=True
-            )
-        else:
-            scan_steps = make_scanned_train_steps(self.model, cfg, tx, n_inner)
-            single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
+        if put_store is not None:
+            n_store, c_store = put_store(n_store), put_store(c_store)
 
         history: list[dict] = []
         examples_per_sec = 0.0
@@ -179,7 +212,7 @@ class Trainer:
                 stack.append(idx.astype(np.int32))
                 if len(stack) == n_inner:
                     state, metrics = scan_steps(
-                        state, jax.device_put(np.stack(stack)), n_store, c_store
+                        state, put_idx(np.stack(stack)), n_store, c_store
                     )
                     stack.clear()
                     if first_dispatch:
@@ -192,7 +225,7 @@ class Trainer:
                     losses.append(metrics["loss"])
             for idx in stack:  # remainder: single steps
                 state, metrics = single_step(
-                    state, jax.device_put(idx.astype(np.int32)), n_store, c_store
+                    state, put_idx(idx.astype(np.int32)), n_store, c_store
                 )
                 seen += b
                 losses.append(metrics["loss"][None] if metrics["loss"].ndim == 0 else metrics["loss"])

@@ -39,6 +39,12 @@ def parse_args(argv=None):
         help="stream pairs.parquet in chunks instead of loading all pairs "
         "(for pair sets larger than host memory); val pairs still load",
     )
+    p.add_argument(
+        "--mesh-devices",
+        type=int,
+        help="train over an N-device mesh (tables row-sharded, batch dim "
+        "sharded, global in-batch negatives); default: single device",
+    )
     return p.parse_args(argv)
 
 
@@ -89,7 +95,15 @@ def main(argv=None) -> int:
     train_pairs, val_pairs = pairs[perm[n_test:]], pairs[perm[:n_test]]
     print(f"pairs: {len(train_pairs):,} train / {len(val_pairs):,} val")
 
-    trainer = Trainer(cfg, schema, notice_store, company_store)
+    mesh = None
+    if args.mesh_devices:
+        import jax
+
+        from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.mesh_devices])
+        print(f"mesh: {args.mesh_devices} devices (tables row-sharded)")
+    trainer = Trainer(cfg, schema, notice_store, company_store, mesh=mesh)
     if args.stream and args.data_dir:
         # NOTE: --stream re-reads the full pairs file per epoch; the split
         # above only carves out validation pairs. Training still sees val
