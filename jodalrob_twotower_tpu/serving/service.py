@@ -33,6 +33,21 @@ from jodalrob_twotower_tpu.serving.index import (
 )
 
 
+from typing import Any
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class FrozenState:
+    """Weights-only model state for serving (no optimizer, no step counter) —
+    what `CheckpointManager.restore_weights` returns, shaped like the slice
+    of TrainState the encoders read. A pytree, so it passes through jit."""
+
+    params: Any
+    batch_stats: Any = flax.struct.field(default_factory=dict)
+
+
 class RetrievalService:
     def __init__(
         self,

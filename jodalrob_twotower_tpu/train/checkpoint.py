@@ -116,3 +116,10 @@ class CheckpointManager:
         if epoch is None:
             return None
         return self.restore(f"epoch_{epoch}", target), epoch
+
+    def restore_weights(self, params_template, batch_stats_template=None) -> dict:
+        """Load the weights-only export (reference model_weights.pt) into
+        {'params', 'batch_stats'} — the serving path's entry point: no
+        optimizer state, no training step counter required."""
+        target = {"params": params_template, "batch_stats": batch_stats_template or {}}
+        return self._ckptr.restore((self.dir / "weights").absolute(), target)

@@ -1,0 +1,137 @@
+"""Serving CLI: frozen towers -> corpus MIPS index -> top-k retrieval.
+
+The end-to-end serving entry point the reference never had (SURVEY.md §3.5:
+single-side encoders existed "for serving/index building" but no index or
+serving loop). Loads a Trainer output directory (config.json + the
+weights-only checkpoint), encodes the company corpus, builds (or loads) an
+exact/int8 index, and answers notice queries with top-k company keys.
+
+Examples:
+  # train, then serve the first 100 notices against the company corpus
+  python scripts/train.py --data-dir ds/ --output-dir runs/exp1
+  python scripts/serve.py --model-dir runs/exp1 --data-dir ds/ \
+      --index int8 --k 10 --queries 100 --output results.jsonl
+
+  # persist the built index; later serve without re-encoding the corpus
+  python scripts/serve.py --model-dir runs/exp1 --data-dir ds/ \
+      --index int8 --save-index runs/exp1/company.idx.npz
+  python scripts/serve.py --model-dir runs/exp1 --data-dir ds/ \
+      --load-index runs/exp1/company.idx.npz --qps-bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", type=Path, required=True,
+                   help="Trainer output dir (config.json + weights/)")
+    p.add_argument("--data-dir", type=Path, help="parquet dataset directory")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--index", choices=["exact", "int8"], default="int8")
+    p.add_argument("--corpus-chunk", type=int,
+                   help="scan the corpus in chunks of this many rows "
+                   "(required memory-wise for multi-million-row corpora)")
+    p.add_argument("--approx-recall", type=float,
+                   help="use approx_max_k candidate selection with this "
+                   "recall target (fast path for big corpora)")
+    p.add_argument("--save-index", type=Path, help="persist the built index (npz)")
+    p.add_argument("--load-index", type=Path, help="serve a persisted index")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--queries", type=int, default=0,
+                   help="serve the first N notices (0 = skip query demo)")
+    p.add_argument("--output", type=Path, help="write results JSONL here")
+    p.add_argument("--qps-bench", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    import jax
+
+    from jodalrob_twotower_tpu.config import TrainConfig
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.models import build_model
+    from jodalrob_twotower_tpu.serving.index import load_index, save_index
+    from jodalrob_twotower_tpu.serving.service import (
+        FrozenState,
+        RetrievalService,
+        qps_bench,
+    )
+    from jodalrob_twotower_tpu.train.checkpoint import CheckpointManager
+
+    cfg = TrainConfig.from_json(args.model_dir / "config.json")
+
+    if args.synthetic or not args.data_dir:
+        from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+
+        ds = make_synthetic_dataset(seed=cfg.seed)
+        schema, notice_store, company_store = ds.schema, ds.notice_store, ds.company_store
+    else:
+        from jodalrob_twotower_tpu.data.feature_store import FeatureStore
+        from jodalrob_twotower_tpu.schema import TwoTowerSchema
+
+        schema = TwoTowerSchema.from_json(args.data_dir / "schema.json")
+        notice_store = FeatureStore.from_parquet(schema.notice, args.data_dir / "notice.parquet")
+        company_store = FeatureStore.from_parquet(schema.company, args.data_dir / "company.parquet")
+
+    # weights-only restore: init templates, then load the export
+    model = build_model(schema, cfg, None)
+    rows = np.arange(min(8, len(notice_store)))
+    example = assemble_pair_batch(notice_store, company_store, np.stack([rows, rows], 1))
+    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+    ckpt = CheckpointManager(args.model_dir, cfg.checkpoint)
+    restored = ckpt.restore_weights(
+        variables["params"], variables.get("batch_stats", {})
+    )
+    state = FrozenState(**restored)
+
+    prebuilt = load_index(args.load_index) if args.load_index else None
+    svc = RetrievalService(
+        model, cfg, state, company_store,
+        index_kind=args.index,
+        corpus_chunk=args.corpus_chunk,
+        approx_recall=args.approx_recall,
+        prebuilt_index=prebuilt,
+    )
+    print(f"index: {args.index if prebuilt is None else 'loaded'} over "
+          f"{len(svc.index):,} companies", file=sys.stderr)
+
+    if args.save_index:
+        save_index(svc.index, args.save_index)
+        print(f"index saved: {args.save_index}", file=sys.stderr)
+
+    if args.queries:
+        n = min(args.queries, len(notice_store))
+        out = args.output.open("w") if args.output else sys.stdout
+        for start in range(0, n, 1024):
+            rows = np.arange(start, min(start + 1024, n))
+            batch = notice_store.gather(rows)
+            for qi, hits in zip(rows, svc.search_keys(batch, k=args.k)):
+                out.write(json.dumps({
+                    "notice": str(notice_store.keys[qi]),
+                    "top_k": [{"company": key, "score": round(s, 6)} for key, s in hits],
+                }) + "\n")
+        if args.output:
+            out.close()
+            print(f"results: {args.output} ({n} queries)", file=sys.stderr)
+
+    if args.qps_bench:
+        res = qps_bench(svc, notice_store, k=args.k, batch_size=1024,
+                        n_batches=10)
+        print(json.dumps({"bench": "serve_cli_qps", **{
+            k: (round(v, 2) if isinstance(v, float) else v) for k, v in res.items()
+        }}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
