@@ -126,6 +126,52 @@ def build_company_bid_history(
     )
 
 
+def build_pgvector_ddl(schema: str, table: str, vec_col: str, dims: int) -> list[str]:
+    """Statements ensuring the pgvector extension + a vector column exist
+    (reference database_connector.py:85-92 ensure_pgvector_and_column)."""
+    return [
+        "CREATE EXTENSION IF NOT EXISTS vector;",
+        f"ALTER TABLE {_quote_ident(schema)}.{_quote_ident(table)} "
+        f"ADD COLUMN IF NOT EXISTS {_quote_ident(vec_col)} vector({int(dims)});",
+    ]
+
+
+def build_vector_update(
+    schema: str,
+    table: str,
+    pk_cols: Sequence[str],
+    vec_col: str,
+    dims: int,
+    *,
+    temp_table: str = "tmp_vec",
+) -> dict[str, str]:
+    """The COPY-into-temp + UPDATE-JOIN statements for bulk vector writes
+    (reference database_connector.py:94-131 copy_temp_and_update_vector):
+    {'create_temp', 'copy', 'update'} to run in one transaction, streaming
+    the PK+vector rows as CSV through the COPY."""
+    tmp = _quote_ident(temp_table)
+    pk_defs = ", ".join(f"{_quote_ident(c)} text" for c in pk_cols)
+    cols_csv = ", ".join(_quote_ident(c) for c in [*pk_cols, vec_col])
+    on_clause = " AND ".join(
+        f"t.{_quote_ident(c)} = s.{_quote_ident(c)}" for c in pk_cols
+    )
+    return {
+        "create_temp": (
+            f"CREATE TEMP TABLE {tmp} ({pk_defs}, "
+            f"{_quote_ident(vec_col)} vector({int(dims)}));"
+        ),
+        "copy": (
+            f"COPY {tmp} ({cols_csv}) FROM STDIN WITH "
+            "(FORMAT csv, DELIMITER ',', NULL '\\N', QUOTE '\"', ESCAPE '\"')"
+        ),
+        "update": (
+            f"UPDATE {_quote_ident(schema)}.{_quote_ident(table)} AS t "
+            f"SET {_quote_ident(vec_col)} = s.{_quote_ident(vec_col)} "
+            f"FROM {tmp} AS s WHERE {on_clause};"
+        ),
+    }
+
+
 def connection_url(env: Mapping[str, str] | None = None) -> str:
     """postgres URL from the reference's env-var surface
     (database_connector.py:14-44): DB_HOST/DB_PORT/DB_NAME/DB_USER/DB_PASSWORD."""

@@ -208,6 +208,80 @@ def _flat_take(chunked: jax.Array, rows: jax.Array, chunk: int) -> jax.Array:
     return chunked[rows // chunk, rows % chunk]
 
 
+def sharded_corpus_retrieval_eval(
+    query_emb: jax.Array,
+    corpus_emb,
+    positive_rows: np.ndarray,
+    mesh,
+    *,
+    ks: tuple[int, ...] = (10, 100),
+    query_chunk: int = 1024,
+) -> CorpusEvalResult:
+    """`corpus_retrieval_eval` with the corpus row-sharded over a mesh.
+
+    Each chip scores queries against only its corpus shard and counts rows
+    above the positive; a `psum` over integer counts merges shards exactly
+    (same definition as the single-device path: strict >, positive's own
+    column excluded, positive score from its gathered row). Cross-chip
+    traffic per query block: the [Q, D] positive rows (psum) + [Q] counts.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS
+
+    axis = DATA_AXIS
+    ndev = mesh.shape[axis]
+    corpus = np.asarray(corpus_emb, np.float32) if not isinstance(corpus_emb, jax.Array) else corpus_emb
+    n_valid = corpus.shape[0]
+    shard_rows = -(-n_valid // ndev)
+    pad = ndev * shard_rows - n_valid
+    if pad:
+        xp = jnp if isinstance(corpus, jax.Array) else np
+        corpus = xp.concatenate([corpus, xp.zeros((pad, corpus.shape[1]), xp.float32)])
+    corpus = jax.device_put(corpus, NamedSharding(mesh, P(axis, None)))
+    pos = jnp.asarray(np.asarray(positive_rows), jnp.int32)
+    rows = jnp.arange(shard_rows)
+
+    def local_ranks(queries, pos_rows, shard):
+        me = jax.lax.axis_index(axis)
+        offset = me * shard_rows
+        local = pos_rows - offset
+        mine = (local >= 0) & (local < shard_rows)
+        picked = jnp.take(shard, jnp.clip(local, 0, shard_rows - 1), axis=0)
+        pos_vec = jax.lax.psum(jnp.where(mine[:, None], picked, 0), axis)
+        pos_sim = jnp.sum(queries * pos_vec, axis=1, keepdims=True)
+        sims = jnp.dot(queries, shard.T, preferred_element_type=jnp.float32)
+        gl = offset + rows[None, :]
+        live = (gl < n_valid) & (gl != pos_rows[:, None])
+        return jax.lax.psum(
+            jnp.sum(((sims > pos_sim) & live).astype(jnp.int32), axis=1), axis
+        )
+
+    ranks_fn = jax.jit(
+        shard_map(
+            local_ranks, mesh=mesh,
+            in_specs=(P(), P(), P(axis, None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    all_ranks = []
+    for start in range(0, query_emb.shape[0], query_chunk):
+        all_ranks.append(np.asarray(ranks_fn(
+            jnp.asarray(query_emb[start : start + query_chunk]),
+            pos[start : start + query_chunk],
+            corpus,
+        )))
+    ranks = np.concatenate(all_ranks)
+    return CorpusEvalResult(
+        recall={k: float((ranks < k).mean()) for k in ks},
+        mrr=float((1.0 / (ranks + 1.0)).mean()),
+        num_queries=query_emb.shape[0],
+        corpus_size=n_valid,
+    )
+
+
 def demonstrate_predictions(
     query_emb: jax.Array,
     corpus_emb: jax.Array,

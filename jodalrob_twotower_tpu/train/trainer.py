@@ -384,4 +384,12 @@ class Trainer:
             self.notice_store.cat_ids[q_rows],
             side="notice",
         )
+        if self.mesh is not None and self.mesh.size > 1:
+            from jodalrob_twotower_tpu.evaluation.evaluator import (
+                sharded_corpus_retrieval_eval,
+            )
+
+            return sharded_corpus_retrieval_eval(
+                query_emb, corpus_emb, val_pairs[:, 1], self.mesh, ks=ks
+            )
         return corpus_retrieval_eval(query_emb, corpus_emb, val_pairs[:, 1], ks=ks)

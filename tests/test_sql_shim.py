@@ -60,6 +60,21 @@ def test_build_company_bid_history():
         build_company_bid_history(order_by="rgstdt; DROP")
 
 
+def test_build_pgvector_ddl_and_update():
+    from jodalrob_twotower_tpu.etl.sql import build_pgvector_ddl, build_vector_update
+
+    ddl = build_pgvector_ddl("public", "notice", "bidntcenm_emb", 768)
+    assert ddl[0].startswith("CREATE EXTENSION")
+    assert 'ADD COLUMN IF NOT EXISTS "bidntcenm_emb" vector(768)' in ddl[1]
+    stmts = build_vector_update("public", "notice", ["bidntceno", "bidntceord"],
+                                "bidntcenm_emb", 768)
+    assert '"bidntceno" text, "bidntceord" text' in stmts["create_temp"]
+    assert stmts["copy"].startswith('COPY "tmp_vec"')
+    assert 't."bidntceno" = s."bidntceno" AND t."bidntceord" = s."bidntceord"' in stmts["update"]
+    with pytest.raises(ValueError, match="unsafe"):
+        build_vector_update("public", "x; DROP", ["a"], "v", 3)
+
+
 def test_connection_url_from_env():
     env = {"DB_HOST": "h", "DB_PORT": "5433", "DB_NAME": "d", "DB_USER": "u", "DB_PASSWORD": "p"}
     assert connection_url(env) == "postgresql+psycopg://u:p@h:5433/d"

@@ -107,6 +107,25 @@ def test_mesh_trainer_checkpoint_resume(tiny_dataset, split_ds, tmp_path):
     )
 
 
+def test_sharded_corpus_eval_matches_single_device(rng):
+    """Mesh rank counting == single-device, bit-for-bit (integer counts)."""
+    from jodalrob_twotower_tpu.evaluation.evaluator import (
+        corpus_retrieval_eval,
+        sharded_corpus_retrieval_eval,
+    )
+
+    d = 16
+    q = rng.normal(size=(50, d)).astype(np.float32)
+    corpus = rng.normal(size=(1003, d)).astype(np.float32)  # pads unevenly
+    pos = rng.integers(0, 1003, size=50)
+    ref = corpus_retrieval_eval(q, corpus, pos, ks=(5, 50))
+    mesh = make_mesh(jax.devices()[:8])
+    sh = sharded_corpus_retrieval_eval(q, corpus, pos, mesh, ks=(5, 50))
+    assert sh.corpus_size == 1003
+    assert sh.recall == ref.recall
+    assert abs(sh.mrr - ref.mrr) < 1e-12
+
+
 def test_mesh_batch_divisibility_guard(tiny_dataset, split_ds):
     import dataclasses
 
