@@ -28,18 +28,25 @@ def initialize(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """jax.distributed.initialize, no-op when single-process or already up."""
+    """jax.distributed.initialize, no-op when single-process or already up.
+
+    Must run before anything touches the XLA backend — so the
+    already-initialized check CANNOT use jax.process_count() (it would
+    initialize the backend and poison the real initialize)."""
     if num_processes is not None and num_processes <= 1:
         return
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes is None:
         return  # single-process run (TPU VM auto-detect happens inside jax)
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def process_info() -> tuple[int, int]:

@@ -1,0 +1,140 @@
+"""True multi-process validation of the multi-host training path.
+
+BASELINE config 4 asks for a 2+ host pod slice. No multi-host TPU is
+attached to this sandbox, so this harness runs the REAL multi-process
+recipe on CPU: N separate processes, `jax.distributed.initialize` over a
+local coordinator, a global mesh spanning all processes' devices, each
+process feeding only its own pair shard (`host_shard_pairs`) assembled into
+globally-sharded batches (`host_local_batch_to_global`) — exactly what a
+pod slice runs, minus the ICI. Verifies:
+
+  * the global device count is processes x local devices;
+  * the sharded train step executes and the loss is finite and IDENTICAL
+    on every process (replicated output of a global computation);
+  * embedding tables are row-sharded across the global mesh.
+
+Usage:
+  python scripts/multihost_smoke.py              # spawn 2 workers + report
+  python scripts/multihost_smoke.py --worker I N # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+COORD = "localhost:12355"
+LOCAL_DEVICES = 4
+BATCH = 64
+
+
+def worker(process_id: int, num_processes: int) -> None:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from jodalrob_twotower_tpu.parallel.distributed import (
+        host_local_batch_to_global,
+        host_shard_pairs,
+        initialize,
+        process_info,
+    )
+
+    initialize(COORD, num_processes, process_id)
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from jodalrob_twotower_tpu.config import (
+        DataConfig,
+        LossConfig,
+        ModelConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from jodalrob_twotower_tpu.parallel.sharded_train import make_sharded_train
+
+    idx, count = process_info()
+    assert count == num_processes, (idx, count)
+    n_global = len(jax.devices())
+    assert n_global == num_processes * LOCAL_DEVICES, n_global
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(32, 16), final_embedding_dim=8,
+            dropout_rate=0.0, compute_dtype="float32", use_batch_norm=False,
+        ),
+        loss=LossConfig(temperature=0.5, use_fused_logits=False),
+        optimizer=OptimizerConfig(learning_rate=1e-2),
+        data=DataConfig(batch_size=BATCH),
+    )
+    # every process generates the same dataset (same seed), then keeps its shard
+    ds = make_synthetic_dataset(seed=0, n_notices=512, n_companies=512, n_pairs=2048)
+    my_pairs = host_shard_pairs(ds.pairs)
+    assert len(my_pairs) == len(ds.pairs) // count
+
+    model = TwoTowerModel(ds.schema, cfg.model)
+    mesh = make_mesh(jax.devices())
+    # example batch: the local slice of the global batch
+    local_b = BATCH // count
+    example_local = assemble_pair_batch(ds.notice_store, ds.company_store, my_pairs[:local_b])
+    example = host_local_batch_to_global(mesh, P(DATA_AXIS), example_local)
+    state, train_step, _ = make_sharded_train(model, cfg, mesh, example, total_steps=10)
+
+    losses = []
+    for step in range(3):
+        rows = my_pairs[step * local_b : (step + 1) * local_b]
+        local = assemble_pair_batch(ds.notice_store, ds.company_store, rows)
+        gbatch = host_local_batch_to_global(mesh, P(DATA_AXIS), local)
+        state, metrics = train_step(state, gbatch)
+        losses.append(float(metrics["loss"]))
+    table = state.params["notice_tower"]["embeddings"]["table"]
+    local_rows = sum(s.data.shape[0] for s in table.addressable_shards)
+    print(json.dumps({
+        "process": idx, "processes": count, "global_devices": n_global,
+        "losses": [round(l, 6) for l in losses],
+        "table_rows_global": table.shape[0],
+        "table_rows_on_this_host": int(local_rows),
+    }), flush=True)
+
+
+def main() -> int:
+    n = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(i), str(n)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(n)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            print(err[-3000:], file=sys.stderr)
+            return 1
+        outs.append(json.loads([l for l in out.splitlines() if l.startswith("{")][-1]))
+    # every process must see the same global losses
+    assert outs[0]["losses"] == outs[1]["losses"], outs
+    assert outs[0]["global_devices"] == n * LOCAL_DEVICES
+    # tables row-sharded: each host holds half the rows
+    assert outs[0]["table_rows_on_this_host"] * n == outs[0]["table_rows_global"]
+    print(json.dumps({"bench": "multihost_smoke", "ok": True, **outs[0]}))
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        raise SystemExit(main())
