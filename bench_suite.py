@@ -262,9 +262,44 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     svc = RetrievalService(model, cfg, state, ds.company_store, prebuilt_index=index)
     out = qps_bench(svc, ds.notice_store, k=100, batch_size=1024, n_batches=10)
     print(f"# search path done in {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
+
+    # recall vs exact-f32 ranking at full 10M scale, on one query batch:
+    # regenerate each f32 chunk from its PRNG key (never holding the 5 GB
+    # corpus alongside the int8 index) and merge exact per-chunk top-k on host
+    extra = {}
+    if kind == "int8":
+        from jodalrob_twotower_tpu.serving.index import SearchResult, recall_vs_exact
+
+        print("# exact-f32 reference scan (streamed)...", file=sys.stderr, flush=True)
+        rng = np.random.default_rng(0)
+        rows = rng.integers(0, len(ds.notice_store), size=512)
+        q = svc.encode_queries(ds.notice_store.gather(rows))
+        approx_res = index.search(q, k=100)
+
+        @jax.jit
+        def exact_chunk(key, q):
+            x = jax.random.normal(key, (chunk, d), jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            sims = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+            return jax.lax.top_k(sims, 100)
+
+        best_s = np.full((512, 100), -np.inf, np.float32)
+        best_i = np.zeros((512, 100), np.int64)
+        for ci, key in enumerate(keys):
+            s, i = exact_chunk(key, q)
+            s, i = np.asarray(s), np.asarray(i).astype(np.int64) + ci * chunk
+            s = np.where(i < n_corpus, s, -np.inf)  # tail rows not in the index
+            cat_s = np.concatenate([best_s, s], axis=1)
+            cat_i = np.concatenate([best_i, i], axis=1)
+            sel = np.argsort(-cat_s, axis=1)[:, :100]
+            best_s = np.take_along_axis(cat_s, sel, axis=1)
+            best_i = np.take_along_axis(cat_i, sel, axis=1)
+        exact_res = SearchResult(best_s, best_i.astype(np.int32))
+        extra["recall_vs_exact_at100"] = round(recall_vs_exact(approx_res, exact_res), 4)
+
     _emit(f"serving_{kind}_10m", qps=round(out["qps"], 1), k=100,
           corpus_size=n_corpus, corpus_gb=round(gb, 2),
-          latency_ms_per_batch=round(out["latency_ms_per_batch"], 1))
+          latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
 
 
 def corpus_eval() -> None:
