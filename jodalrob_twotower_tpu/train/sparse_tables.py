@@ -150,11 +150,17 @@ def make_sparse_train_step(
     donate: bool = True,
     with_metrics: bool = False,
     jit: bool = True,
+    defer_table_updates: bool = False,
 ):
     """Indexed train step over device-resident stores with sparse tables.
 
     Call: step(state, pair_idx [B,2] int32, notice_store, company_store)
     where stores are (dense, cat_ids) device arrays (train_step.device_store).
+
+    ``defer_table_updates=True`` leaves the tables untouched and returns the
+    compact per-occurrence rows/cotangents in the metrics dict (keys
+    ``rows_n``, ``g_n``, ``rows_c``, ``g_c``) so a scan wrapper can apply
+    one batched update per window (`make_deferred_sparse_steps`).
     """
     n_vocabs = model.schema.notice.vocab_sizes
     c_vocabs = model.schema.company.vocab_sizes
@@ -229,21 +235,24 @@ def make_sparse_train_step(
         updates, new_opt_state = tx.update(g_dense, state.opt_state, state.dense_params)
         new_dense = optax.apply_updates(state.dense_params, updates)
 
-        lr_t = emb_schedule(state.step)
-        new_nt = sparse_rowwise_adagrad_update(
-            state.notice_table,
-            rows_n.reshape(-1),
-            g_emb_n.reshape(-1, emb_dim).astype(jnp.float32),
-            lr=lr_t,
-            eps=eps,
-        )
-        new_ct = sparse_rowwise_adagrad_update(
-            state.company_table,
-            rows_c.reshape(-1),
-            g_emb_c.reshape(-1, emb_dim).astype(jnp.float32),
-            lr=lr_t,
-            eps=eps,
-        )
+        if defer_table_updates:
+            new_nt, new_ct = state.notice_table, state.company_table
+        else:
+            lr_t = emb_schedule(state.step)
+            new_nt = sparse_rowwise_adagrad_update(
+                state.notice_table,
+                rows_n.reshape(-1),
+                g_emb_n.reshape(-1, emb_dim).astype(jnp.float32),
+                lr=lr_t,
+                eps=eps,
+            )
+            new_ct = sparse_rowwise_adagrad_update(
+                state.company_table,
+                rows_c.reshape(-1),
+                g_emb_c.reshape(-1, emb_dim).astype(jnp.float32),
+                lr=lr_t,
+                eps=eps,
+            )
         new_state = SparseTrainState(
             step=state.step + 1,
             dense_params=new_dense,
@@ -256,6 +265,11 @@ def make_sparse_train_step(
         metrics = {"loss": loss}
         if with_metrics and sim is not None:
             metrics.update(in_batch_metrics(sim))
+        if defer_table_updates:
+            metrics["rows_n"] = rows_n.reshape(-1)
+            metrics["g_n"] = g_emb_n.reshape(-1, emb_dim).astype(jnp.float32)
+            metrics["rows_c"] = rows_c.reshape(-1)
+            metrics["g_c"] = g_emb_c.reshape(-1, emb_dim).astype(jnp.float32)
         return new_state, metrics
 
     if not jit:
@@ -283,5 +297,74 @@ def make_scanned_sparse_steps(
             return inner(carry, pair_idx, notice_store, company_store)
 
         return jax.lax.scan(body, state, pair_idx_stack)
+
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_deferred_sparse_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    total_steps: int,
+    n_inner: int,
+    *,
+    donate: bool = True,
+):
+    """n_inner steps per dispatch with ONE batched table update per window.
+
+    The scatter-add into a [10M, D] table is payload-bound at ~22 ms per
+    65k-row update on this chip (BENCHMARKS.md scatter study) and dominates
+    the per-step sparse path (44 of 48 ms at batch 8192). Deferring: steps
+    inside the window read the window-start tables (dense params still
+    update every step) and stash their compact [B·K] rows / [B·K, D]
+    cotangents; at window end each side applies one
+    `sparse_rowwise_adagrad_update` over all n_inner·B·K occurrences —
+    scatter cost amortized n_inner-fold.
+
+    Semantics trade (documented, opt-in): embeddings are up to n_inner
+    steps stale within a window — the standard asynchronous-embedding trade
+    recsys trainers make (parameter-server staleness); equal to the
+    per-step path when n_inner=1. The accumulator/step math per occurrence
+    is unchanged (post-window accumulator, like the per-step variant's
+    post-batch accumulator).
+    """
+    inner = make_sparse_train_step(
+        model, cfg, tx, total_steps, jit=False, with_metrics=False,
+        defer_table_updates=True,
+    )
+    emb_lr = cfg.optimizer.embedding_learning_rate or cfg.optimizer.learning_rate
+    emb_schedule = warmup_constant_schedule(
+        emb_lr, total_steps, cfg.optimizer.warmup_ratio
+    )
+    eps = cfg.optimizer.adagrad_eps
+
+    def steps_fn(state, pair_idx_stack, notice_store, company_store):
+        def body(carry, pair_idx):
+            new_state, m = inner(carry, pair_idx, notice_store, company_store)
+            aux = (m.pop("rows_n"), m.pop("g_n"), m.pop("rows_c"), m.pop("g_c"))
+            return new_state, (m, aux)
+
+        state, (metrics, aux) = jax.lax.scan(body, state, pair_idx_stack)
+        rows_n, g_n, rows_c, g_c = aux  # each stacked [n_inner, ...]
+        lr_t = emb_schedule(state.step - 1)
+        d = g_n.shape[-1]
+        new_nt = sparse_rowwise_adagrad_update(
+            state.notice_table, rows_n.reshape(-1), g_n.reshape(-1, d),
+            lr=lr_t, eps=eps,
+        )
+        new_ct = sparse_rowwise_adagrad_update(
+            state.company_table, rows_c.reshape(-1), g_c.reshape(-1, d),
+            lr=lr_t, eps=eps,
+        )
+        state = SparseTrainState(
+            step=state.step,
+            dense_params=state.dense_params,
+            batch_stats=state.batch_stats,
+            opt_state=state.opt_state,
+            notice_table=new_nt,
+            company_table=new_ct,
+            rng=state.rng,
+        )
+        return state, metrics
 
     return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())

@@ -136,6 +136,66 @@ def test_sparse_step_matches_dense_step(unique_id_dataset):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+def test_deferred_window_of_one_matches_per_step(unique_id_dataset):
+    """make_deferred_sparse_steps(n_inner=1) == the per-step sparse path."""
+    from jodalrob_twotower_tpu.train.sparse_tables import make_deferred_sparse_steps
+
+    ds = unique_id_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    pairs = np.stack([np.arange(64), np.arange(64, 128)], axis=1)
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, pairs)
+    idx = jnp.asarray(pairs, jnp.int32)
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+
+    s1, tx1 = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100)
+    step1 = make_sparse_train_step(model, _CFG, tx1, 100, donate=False)
+    s1, m1 = step1(s1, idx, n_store, c_store)
+
+    s2, tx2 = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100)
+    deferred = make_deferred_sparse_steps(model, _CFG, tx2, 100, 1, donate=False)
+    s2, m2 = deferred(s2, idx[None], n_store, c_store)
+
+    np.testing.assert_allclose(float(m2["loss"][0]), float(m1["loss"]), rtol=1e-6)
+    for side in ("notice_table", "company_table"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s2, side).table), np.asarray(getattr(s1, side).table),
+            rtol=1e-6, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(s2, side).accumulator),
+            np.asarray(getattr(s1, side).accumulator), rtol=1e-6,
+        )
+
+
+def test_deferred_updates_learn(tiny_dataset):
+    """Windowed (stale-within-window) table updates still learn the planted
+    clusters; tables actually change once per window."""
+    import dataclasses
+
+    from jodalrob_twotower_tpu.train.sparse_tables import make_deferred_sparse_steps
+
+    ds = tiny_dataset
+    cfg = dataclasses.replace(
+        _CFG, optimizer=OptimizerConfig(learning_rate=3e-3, warmup_ratio=0.0)
+    )
+    model = TwoTowerModel(ds.schema, cfg.model)
+    b, n_inner = 64, 4
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+    state, tx = create_sparse_train_state(model, cfg, jax.random.PRNGKey(0), batch, 400)
+    steps = make_deferred_sparse_steps(model, cfg, tx, 400, n_inner, donate=False)
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    rng = np.random.default_rng(0)
+    init_table = np.asarray(state.notice_table.table).copy()
+    losses = []
+    for d in range(20):
+        idx = ds.pairs[rng.integers(0, len(ds.pairs), size=(n_inner, b))].astype(np.int32)
+        state, m = steps(state, jnp.asarray(idx), n_store, c_store)
+        losses.extend(np.asarray(m["loss"]).tolist())
+    assert int(state.step) == 20 * n_inner
+    assert np.mean(losses[-8:]) < np.mean(losses[:8]) - 0.3
+    assert np.any(np.asarray(state.notice_table.table) != init_table)
+
+
 def test_sparse_training_learns_and_merges(tiny_dataset):
     ds = tiny_dataset
     model = TwoTowerModel(ds.schema, _CFG.model)
