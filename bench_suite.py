@@ -26,8 +26,12 @@ def _emit(name: str, **fields) -> None:
     print(json.dumps({"bench": name, **fields}), flush=True)
 
 
-def train_scaled(sparse: bool = False) -> None:
-    """Scaled tables: 8 features x 1.25M vocab = 10M rows, dim 64."""
+def train_scaled(sparse: bool = False, deferred: bool = False) -> None:
+    """Scaled tables: 8 features x 1.25M vocab = 10M rows, dim 64.
+
+    ``deferred``: sparse path with one batched table update per 8-step scan
+    window (train/sparse_tables.py make_deferred_sparse_steps) — amortizes
+    the scatter that dominates the per-step sparse step."""
     import jax
 
     from jodalrob_twotower_tpu.config import (
@@ -82,11 +86,37 @@ def train_scaled(sparse: bool = False) -> None:
     if sparse:
         from jodalrob_twotower_tpu.train.sparse_tables import (
             create_sparse_train_state,
+            make_deferred_sparse_steps,
             make_sparse_train_step,
         )
 
         state, tx = create_sparse_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
         table_rows = state.notice_table.table.shape[0]
+        if deferred:
+            W = 8
+            steps_fn = make_deferred_sparse_steps(model, cfg, tx, 100, W)
+            n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+            idx = jax.device_put(
+                ds.pairs[rng.integers(0, 2 * b, size=(W, b))].astype(np.int32)
+            )
+            state, m = steps_fn(state, idx, n_store, c_store)
+            float(m["loss"][-1])
+            t0 = time.perf_counter()
+            n_disp = 5
+            for _ in range(n_disp):
+                state, m = steps_fn(state, idx, n_store, c_store)
+            float(m["loss"][-1])
+            dt = (time.perf_counter() - t0) / (n_disp * W)
+            _emit(
+                "train_scaled_sparse_deferred",
+                examples_per_sec=round(b / dt, 1),
+                step_ms=round(dt * 1e3, 2),
+                window=W,
+                table_rows_per_tower=int(table_rows),
+                embedding_params=int(2 * table_rows * 64),
+                batch=b,
+            )
+            return
         step = make_sparse_train_step(model, cfg, tx, 100, with_metrics=False)
     else:
         state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
@@ -328,6 +358,7 @@ BENCHES = {
     "train_hostfed": train_hostfed,
     "train_scaled": train_scaled,
     "train_scaled_sparse": lambda: train_scaled(sparse=True),
+    "train_scaled_sparse_deferred": lambda: train_scaled(sparse=True, deferred=True),
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),
     "serving_int8_10m": lambda: serving_10m("int8"),

@@ -138,6 +138,11 @@ class TrainConfig:
     # embedding tables: tables + rowwise-Adagrad state live outside the
     # dense param tree and only touched rows are updated per step
     sparse_tables: bool = False
+    # With sparse_tables: apply ONE batched rowwise-Adagrad table update per
+    # n_inner-step scan window instead of per step (train/sparse_tables.py
+    # make_deferred_sparse_steps). Amortizes the scatter that dominates the
+    # sparse step; embeddings are up to n_inner steps stale within a window.
+    sparse_defer_updates: bool = False
     seed: int = 42
 
     # -- (de)serialization ---------------------------------------------------

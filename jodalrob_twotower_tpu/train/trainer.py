@@ -146,6 +146,7 @@ class Trainer:
         elif cfg.sparse_tables:
             from jodalrob_twotower_tpu.train.sparse_tables import (
                 create_sparse_train_state,
+                make_deferred_sparse_steps,
                 make_scanned_sparse_steps,
                 make_sparse_train_step,
             )
@@ -153,7 +154,14 @@ class Trainer:
             state, tx = create_sparse_train_state(
                 self.model, cfg, jax.random.PRNGKey(cfg.seed), example, total_steps
             )
-            scan_steps = make_scanned_sparse_steps(self.model, cfg, tx, total_steps, n_inner)
+            if cfg.sparse_defer_updates:
+                scan_steps = make_deferred_sparse_steps(
+                    self.model, cfg, tx, total_steps, n_inner
+                )
+            else:
+                scan_steps = make_scanned_sparse_steps(
+                    self.model, cfg, tx, total_steps, n_inner
+                )
             single_step = make_sparse_train_step(
                 self.model, cfg, tx, total_steps, with_metrics=True
             )

@@ -229,6 +229,28 @@ def test_sparse_training_learns_and_merges(tiny_dataset):
     assert float(metrics["accuracy"]) > 3.0 / 64
 
 
+def test_trainer_sparse_deferred_end_to_end(tiny_dataset, tmp_path):
+    """Trainer with sparse_defer_updates=True (one table update per scan
+    window) still learns the planted clusters."""
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    ds = tiny_dataset
+    cfg = _CFG.replace(
+        sparse_tables=True,
+        sparse_defer_updates=True,
+        results_csv=str(tmp_path / "results.csv"),
+        optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=3),
+    )
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
+    tr, va = ds.split(0.2, seed=0)
+    result = trainer.train(tr, va[:256], corpus_eval=False, n_inner=4)
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+    assert result.final_val["accuracy"] > 3.0 / 64
+    # tables actually moved (deferred updates were applied)
+    init = np.zeros_like(np.asarray(result.state.notice_table.table))
+    assert np.any(np.asarray(result.state.notice_table.table) != init)
+
+
 def test_sparse_state_checkpoint_roundtrip(tiny_dataset, tmp_path):
     """SparseTrainState is a pytree: orbax save/restore preserves it."""
     import orbax.checkpoint as ocp
