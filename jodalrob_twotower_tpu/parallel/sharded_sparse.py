@@ -41,6 +41,7 @@ from jodalrob_twotower_tpu.parallel.mesh import (
 from jodalrob_twotower_tpu.train.sparse_tables import (
     SparseTrainState,
     create_sparse_train_state,
+    deferred_sparse_steps_fn,
     make_sparse_train_step,
 )
 
@@ -77,6 +78,7 @@ def make_sharded_sparse_train(
     *,
     with_metrics: bool = False,
     n_inner: int | None = None,
+    defer_updates: bool = False,
 ):
     """Build (sharded_state, jitted_step, put_batch, put_store[, scan_steps]).
 
@@ -84,7 +86,10 @@ def make_sharded_sparse_train(
     sparse O(batch) step compiled over the mesh; stores are (dense, cat_ids)
     device tuples from ``put_store``. With ``n_inner`` set, a fifth return
     value runs n_inner steps per dispatch via lax.scan
-    (idx stack [n_inner, B, 2], batch dim sharded).
+    (idx stack [n_inner, B, 2], batch dim sharded). ``defer_updates`` makes
+    that scan apply ONE batched rowwise-Adagrad update per window
+    (train/sparse_tables.py make_deferred_sparse_steps semantics) — the
+    per-shard scatter sees the whole window's rows at once.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -128,13 +133,16 @@ def make_sharded_sparse_train(
     if n_inner is None:
         return state, train_step, put_batch, put_store
 
-    inner = make_sparse_train_step(model, cfg, tx, total_steps, jit=False)
+    if defer_updates:
+        scan_fn = deferred_sparse_steps_fn(model, cfg, tx, total_steps)
+    else:
+        inner = make_sparse_train_step(model, cfg, tx, total_steps, jit=False)
 
-    def scan_fn(st, idx_stack, n_store, c_store):
-        def body(carry, idx):
-            return inner(carry, idx, n_store, c_store)
+        def scan_fn(st, idx_stack, n_store, c_store):
+            def body(carry, idx):
+                return inner(carry, idx, n_store, c_store)
 
-        return jax.lax.scan(body, st, idx_stack)
+            return jax.lax.scan(body, st, idx_stack)
 
     scan_steps = jax.jit(
         scan_fn,

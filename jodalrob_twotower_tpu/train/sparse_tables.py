@@ -318,8 +318,10 @@ def make_deferred_sparse_steps(
     inside the window read the window-start tables (dense params still
     update every step) and stash their compact [B·K] rows / [B·K, D]
     cotangents; at window end each side applies one
-    `sparse_rowwise_adagrad_update` over all n_inner·B·K occurrences —
-    scatter cost amortized n_inner-fold.
+    `sparse_rowwise_adagrad_update` over all n_inner·B·K occurrences. The
+    scatter is payload-bound, so the win is batching efficiency (one big
+    sorted scatter beats n_inner small ones), measured 1.39x on 10M-row
+    tables at window 8 (BENCHMARKS.md); a wash at small table heights.
 
     Semantics trade (documented, opt-in): embeddings are up to n_inner
     steps stale within a window — the standard asynchronous-embedding trade
@@ -328,6 +330,19 @@ def make_deferred_sparse_steps(
     is unchanged (post-window accumulator, like the per-step variant's
     post-batch accumulator).
     """
+    steps_fn = deferred_sparse_steps_fn(model, cfg, tx, total_steps)
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
+
+
+def deferred_sparse_steps_fn(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    total_steps: int,
+):
+    """The unjitted deferred-window scan body (see make_deferred_sparse_steps).
+
+    Exposed so parallel/sharded_sparse.py can jit it with mesh shardings."""
     inner = make_sparse_train_step(
         model, cfg, tx, total_steps, jit=False, with_metrics=False,
         defer_table_updates=True,
@@ -367,4 +382,4 @@ def make_deferred_sparse_steps(
         )
         return state, metrics
 
-    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
+    return steps_fn

@@ -130,6 +130,7 @@ class Trainer:
                     make_sharded_sparse_train(
                         self.model, cfg, self.mesh, example, total_steps,
                         with_metrics=True, n_inner=n_inner,
+                        defer_updates=cfg.sparse_defer_updates,
                     )
                 )
             else:

@@ -153,6 +153,43 @@ def test_sharded_sparse_learns(setup):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.3
 
 
+def test_sharded_deferred_matches_single_device_deferred(setup):
+    """Sharded deferred-window scan == single-device deferred scan (same
+    window), and window-of-1 == the per-step sharded path."""
+    from jodalrob_twotower_tpu.train.sparse_tables import make_deferred_sparse_steps
+
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+    W = 2
+    idx = np.stack([_dupe_free_idx(ds, 32, seed=i) for i in range(W)])
+
+    s1, tx1 = create_sparse_train_state(model, _CFG, jax.random.PRNGKey(_CFG.seed), warm, 10)
+    fn1 = make_deferred_sparse_steps(model, _CFG, tx1, 10, W, donate=False)
+    s1, m1 = fn1(s1, jax.numpy.asarray(idx), device_store(ds.notice_store), device_store(ds.company_store))
+
+    s8, _, put_batch, put_store, scan8 = make_sharded_sparse_train(
+        model, _CFG, mesh, warm, 10, n_inner=W, defer_updates=True
+    )
+    n8 = put_store(device_store(ds.notice_store))
+    c8 = put_store(device_store(ds.company_store))
+    s8, m8 = scan8(s8, put_batch(idx), n8, c8)
+
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m8["loss"]), rtol=2e-5
+    )
+    for side in ("notice_table", "company_table"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, side).table),
+            np.asarray(getattr(s8, side).table),
+            rtol=2e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, side).accumulator),
+            np.asarray(getattr(s8, side).accumulator),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 def test_fused_logits_guard(setup):
     schema, ds, model, warm = setup
     mesh = make_mesh(jax.devices()[:8])
