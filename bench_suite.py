@@ -272,24 +272,30 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     jax.block_until_ready(parts)
     print(f"# corpus chunks built in {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
     # approx_max_k candidate selection: exact top_k costs 89 ms per
-    # [1024, 262144] chunk on this chip vs 3.8 ms fused approx (recall 0.95)
+    # [1024, 262144] chunk on this chip vs 3.8 ms fused approx (recall 0.95).
+    # Under approx selection the corpus stays FLAT (corpus_chunk=None): the
+    # dot fuses into approx_max_k's partial reduction, so the [1024, 10M]
+    # score block never materializes and the whole scan runs at the HBM
+    # floor of reading the int8 corpus once (~20 ms) — scanning 262k chunks
+    # with per-chunk merges measured 3.5x slower (152 ms serial).
     if kind == "int8":
         index = Int8Index.from_quantized(
             jnp.stack([p[0] for p in parts]).reshape(-1, d)[:n_corpus],
             jnp.stack([p[1] for p in parts]).reshape(-1, 1)[:n_corpus],
-            corpus_chunk=chunk, approx_recall=0.95,
+            corpus_chunk=None, approx_recall=0.97,
         )
         gb = index.nbytes / 1e9
     else:
         index = BruteForceIndex(
-            jnp.stack(parts).reshape(-1, d)[:n_corpus], corpus_chunk=chunk,
+            jnp.stack(parts).reshape(-1, d)[:n_corpus], corpus_chunk=None,
             approx_recall=0.95,
         )
         gb = index.corpus.nbytes / 1e9
 
     t = time.perf_counter()
     print("# index built; compiling fused search...", file=sys.stderr, flush=True)
-    svc = RetrievalService(model, cfg, state, ds.company_store, prebuilt_index=index)
+    svc = RetrievalService(model, cfg, state, ds.company_store, prebuilt_index=index,
+                           payload_dtype=jnp.float16)
     out = qps_bench(svc, ds.notice_store, k=100, batch_size=1024, n_batches=10)
     print(f"# search path done in {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
 

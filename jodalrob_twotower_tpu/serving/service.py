@@ -63,7 +63,14 @@ class RetrievalService:
         mesh=None,
         precomputed_corpus_emb=None,
         prebuilt_index=None,
+        payload_dtype=None,
     ) -> None:
+        """``payload_dtype`` (e.g. jnp.float16) casts the returned scores
+        inside the fused jit — free on device, and it halves the result
+        bytes crossing the host link, which is the serving bottleneck when
+        D2H bandwidth is scarce (measured 10 MB/s effective on the tunneled
+        chip: fetching [1024, 100] f32+int32 costs ~80 ms vs ~20 ms of
+        compute for a 10M-row int8 scan)."""
         self.model = model
         self.cfg = cfg
         self.state = state
@@ -100,7 +107,8 @@ class RetrievalService:
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def _fused_impl(state, batch, k, *corpus_args):
-            return self.index.topk_body(encode_body(state, batch), k, *corpus_args)
+            s, i = self.index.topk_body(encode_body(state, batch), k, *corpus_args)
+            return (s if payload_dtype is None else s.astype(payload_dtype)), i
 
         self._fused = lambda state, batch, k: _fused_impl(
             state, batch, k, *self.index.corpus_args()
@@ -142,8 +150,11 @@ def qps_bench(
 
     Keeps ``pipeline_depth`` batches in flight: batch i+1 is dispatched
     before batch i's results are pulled to the host, so D2H and dispatch
-    latency overlap compute. Every result IS fetched to host numpy — the
-    loop measures real end-to-end serving, just not serially.
+    latency overlap compute. Each result's host copy starts asynchronously
+    at dispatch time (``copy_to_host_async``) — blocking ``np.asarray``
+    fetches serialize D2H behind compute and cost 2-3x in sustained QPS on
+    a bandwidth-starved host link. Every result IS fetched to host numpy —
+    the loop measures real end-to-end serving, just not serially.
     """
     rng = np.random.default_rng(seed)
     rows = rng.integers(0, len(query_store), size=(n_batches, batch_size))
@@ -160,7 +171,10 @@ def qps_bench(
 
     t0 = time.perf_counter()
     for i in range(n_batches):
-        in_flight.append(service.search_device(batches[i], k))
+        out = service.search_device(batches[i], k)
+        for arr in out:
+            arr.copy_to_host_async()
+        in_flight.append(out)
         drain(pipeline_depth - 1)
     drain(0)
     elapsed = time.perf_counter() - t0
