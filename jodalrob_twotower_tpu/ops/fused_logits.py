@@ -27,9 +27,18 @@ S in HBM either:
   ∂L/∂S_ij = (1/2B)[P_row_ij + P_col_ij - 2(1-ε)δ_ij - 2ε/B]
   with P_row_ij = exp(S_ij - row_lse_i), P_col_ij = exp(S_ij - col_lse_j).
 
-Grid is over row blocks; C stays resident in VMEM (B·D·4 = 4 MB at B=8192,
-D=128); per-block VMEM is the [bm, B] tile. Shapes outside the supported
-envelope fall back to the XLA path automatically.
+Grid is over row blocks; C stays resident in VMEM (B·D·2 = 2 MB bf16 at
+B=8192, D=128); per-block VMEM is the [bm, B] f32 tile. Shapes outside the
+supported envelope fall back to the XLA path automatically.
+
+The kernels take N and C in **bfloat16** (f32 accumulation). This is
+numerically FREE on this chip: the MXU multiplies bf16 natively and XLA
+runs with ``--xla_allow_excess_precision=true``, so the previous f32-input
+version produced bit-identical forward stats (measured) while paying 2x
+the VMEM — the f32 backward sat at 16.01 MB vs the 16.00 MB scoped-VMEM
+ceiling and OOMed whenever an extra op fused into its jit. Backward
+gradients differ from exact-f32 math by ~2e-4 relative (the softmax
+residual is contracted in bf16), standard bf16-training precision.
 """
 
 from __future__ import annotations
@@ -43,11 +52,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Row-block height. B must be divisible by it; 128 keeps the [bm, B] tile at
-# 4 MB for B=8192 so forward fits in ~9 MB and backward in ~13 MB of VMEM.
+# Row-block height. B must be divisible by it; 128 keeps the [bm, B] f32
+# tile at 4 MB for B=8192 so forward fits in ~7 MB and backward in ~11 MB
+# of the 16 MB scoped VMEM.
 _BM = 128
-# Supported envelope for the kernel (beyond it, fall back to XLA).
-_MAX_B = 16384  # [1, B] accumulators + C-resident assumption
+# Supported envelope for the kernel (beyond it, fall back to XLA). At
+# B=16384 the backward's resident set (s tile + bf16 C + f32 dc
+# accumulator) exceeds 16 MB VMEM for any bm, so the cap is a real limit,
+# not a guess — raising it trades for a dc-revisit-by-blocks redesign.
+_MAX_B = 8192
 _NEG_INF = -1e30
 
 
@@ -148,7 +161,7 @@ def _fused_stats_call(n_scaled, c, *, interpret: bool = False):
             pltpu.VMEM((1, b), jnp.float32),
         ],
         interpret=interpret,
-    )(n_scaled, c)
+    )(n_scaled.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
     return row_stats, col_stats
 
 
@@ -233,7 +246,12 @@ def _bwd_kernel(n_ref, c_ref, rowlse_ref, collse_ref, eps_ref, dn_ref, dc_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     diag = (cols == rows + i * nblk).astype(jnp.float32)
-    a = inv2b * (p_row + p_col - 2.0 * (1.0 - eps) * diag - (2.0 * eps) / b)
+    # bf16 residual for the contractions: matches the inputs' precision so
+    # both dots hit the MXU's native single-pass path (f32 x bf16 would
+    # force a multi-pass f32 dot); error vs exact-f32 grads ~2e-4 relative.
+    a = (inv2b * (p_row + p_col - 2.0 * (1.0 - eps) * diag - (2.0 * eps) / b)).astype(
+        jnp.bfloat16
+    )
 
     dn_ref[:, :] = jnp.dot(a, c_ref[:, :], preferred_element_type=jnp.float32)
 
@@ -269,7 +287,13 @@ def _fused_bwd_call(n_scaled, c, row_lse, col_lse, eps, *, interpret: bool = Fal
             jax.ShapeDtypeStruct((b, d), jnp.float32),
         ],
         interpret=interpret,
-    )(n_scaled, c, row_lse.reshape(b, 1), col_lse.reshape(1, b), eps_arr)
+    )(
+        n_scaled.astype(jnp.bfloat16),
+        c.astype(jnp.bfloat16),
+        row_lse.reshape(b, 1),
+        col_lse.reshape(1, b),
+        eps_arr,
+    )
     return dn, dc
 
 

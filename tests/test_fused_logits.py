@@ -32,11 +32,24 @@ def test_stats_match_xla(rng, tau):
     ref = _stats_xla(n / tau, c)
     out = fused_stats(n, c, temperature=tau, interpret=True)
     for name in ref._fields:
+        if name == "rank":
+            # bf16 kernel inputs can flip near-tied comparisons vs the f32
+            # reference, shifting integer ranks by a few positions (how
+            # many depends on XLA:CPU's reduction order, which varies with
+            # process history — hence a small but not tiny budget)
+            np.testing.assert_allclose(
+                np.asarray(out.rank), np.asarray(ref.rank), atol=5, err_msg=name
+            )
+            continue
+        # error budgets are absolute and scale with the logit range 1/tau:
+        # sums over B near-zero-mean similarities cancel (~sqrt(B) bf16
+        # ulps), and diag entries are raw logits up to +-1/tau
+        atol = (0.05 if name in ("row_sum", "col_sum") else 0.01) / tau
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)),
             np.asarray(getattr(ref, name)),
-            rtol=1e-5,
-            atol=1e-5,
+            rtol=5e-4,
+            atol=atol,
             err_msg=name,
         )
 
@@ -47,7 +60,8 @@ def test_fused_loss_matches_reference(rng, eps, tau):
     n, c = _embs(rng)
     ref, _ = bidirectional_ce_loss(n, c, temperature=tau, label_smoothing=eps)
     out = fused_bidirectional_ce(n, c, tau, eps, True)
-    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    # bf16 kernel inputs: loss matches the f32 reference to ~1e-4 relative
+    np.testing.assert_allclose(float(out), float(ref), rtol=2e-4)
 
 
 @pytest.mark.parametrize("eps", [0.0, 0.1])
@@ -63,8 +77,10 @@ def test_fused_gradients_match(rng, eps):
         lambda a, b: fused_bidirectional_ce(a, b, tau, eps, True), argnums=(0, 1)
     )(n, c)
     for g_ref, g_out, name in zip(ref_grad, fused_grad, ("dn", "dc")):
+        # kernel contracts the softmax residual in bf16 (fused_logits.py
+        # module docstring) -> ~2e-4 relative vs the exact-f32 reference
         np.testing.assert_allclose(
-            np.asarray(g_out), np.asarray(g_ref), rtol=1e-4, atol=1e-6, err_msg=name
+            np.asarray(g_out), np.asarray(g_ref), rtol=2e-3, atol=5e-5, err_msg=name
         )
 
 
@@ -75,8 +91,11 @@ def test_fused_metrics_match(rng):
     out = fused_in_batch_metrics(n, c, temperature=0.5, interpret=True)
     assert set(out) == set(ref)
     for k in ref:
+        # bf16 kernel inputs can flip near-tied rank comparisons vs the
+        # f32 reference; each flip moves a rank-derived metric (accuracy /
+        # mrr / auc / recall@k) by up to 1/B, so budget a few flips
         np.testing.assert_allclose(
-            float(out[k]), float(ref[k]), rtol=1e-5, atol=1e-6, err_msg=k
+            float(out[k]), float(ref[k]), rtol=5e-3, atol=3.0 / B, err_msg=k
         )
 
 
