@@ -117,6 +117,14 @@ class CheckpointConfig:
     save_final: bool = True
     save_every_epoch: bool = True
     keep_n: int = 3
+    # mid-epoch preemption recovery: checkpoint the train state every N
+    # steps (0 = off). The save is double-buffered with an atomic pointer
+    # flip, so a kill during the write never destroys the previous good
+    # checkpoint; resume fast-forwards the seeded epoch iterator to the
+    # exact batch, making a preempted run bit-identical to an
+    # uninterrupted one. The reference could only resume whole epochs
+    # (scripts/train.py:537-589).
+    save_every_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,6 +64,35 @@ class CheckpointManager:
                 json.dumps({"epoch": epoch, "metric": float(metric)})
             )
 
+    def save_step(self, state: TrainState, epoch: int) -> None:
+        """Mid-epoch checkpoint for preemption recovery.
+
+        Double-buffered: alternates between ``step_a/`` and ``step_b/`` and
+        only flips the ``step.json`` pointer (atomic rename) after the save
+        fully lands — a preemption during the write leaves the previous
+        good checkpoint intact and pointed-to."""
+        ptr = self.dir / "step.json"
+        prev = json.loads(ptr.read_text())["dir"] if ptr.exists() else "step_b"
+        nxt = "step_a" if prev == "step_b" else "step_b"
+        self._write(self.dir / nxt, state, overwrite=True)
+        tmp = self.dir / "step.json.tmp"
+        tmp.write_text(
+            json.dumps(
+                {"dir": nxt, "epoch": int(epoch), "step": int(jax.device_get(state.step))}
+            )
+        )
+        tmp.replace(ptr)
+
+    def restore_step(self, target: TrainState) -> tuple[TrainState, int, int] | None:
+        """Restore the newest mid-epoch checkpoint -> (state, epoch, step),
+        or None if no step checkpoint exists."""
+        ptr = self.dir / "step.json"
+        if not ptr.exists():
+            return None
+        meta = json.loads(ptr.read_text())
+        state = self.restore(meta["dir"], target)
+        return state, int(meta["epoch"]), int(meta["step"])
+
     def finalize(self, state: TrainState) -> None:
         if self.cfg.save_final:
             self._write(self.dir / "final", state, overwrite=True)

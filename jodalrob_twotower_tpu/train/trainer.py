@@ -183,13 +183,26 @@ class Trainer:
 
         ckpt = None
         start_epoch = 0
+        skip_batches = 0  # mid-epoch resume: batches already trained this epoch
         if checkpoint_dir is not None:
             ckpt = CheckpointManager(checkpoint_dir, cfg.checkpoint)
             ckpt.save_config(cfg)
             if resume:
-                resumed = ckpt.restore_latest(state)
-                if resumed is not None:
-                    state, last_epoch = resumed
+                last_epoch = ckpt.latest_epoch()
+                step_ckpt = ckpt.restore_step(state)
+                # a mid-epoch checkpoint wins only if it is from an epoch no
+                # completed-epoch checkpoint covers (the epoch save happens
+                # AFTER the last step save of that epoch)
+                if step_ckpt is not None and step_ckpt[1] > (last_epoch if last_epoch is not None else -1):
+                    state, start_epoch, saved_step = step_ckpt
+                    skip_batches = max(0, min(saved_step - start_epoch * steps_per_epoch,
+                                              steps_per_epoch))
+                    self.log(
+                        f"resumed mid-epoch {start_epoch} at step {saved_step} "
+                        f"(skipping {skip_batches} already-trained batches)"
+                    )
+                elif last_epoch is not None:
+                    state = ckpt.restore(f"epoch_{last_epoch}", state)
                     start_epoch = last_epoch + 1
                     self.log(f"resumed from epoch {last_epoch} (step {int(state.step)})")
 
@@ -203,6 +216,8 @@ class Trainer:
         examples_per_sec = 0.0
         train_loss = float("nan")
         first_dispatch = True  # first dispatch includes XLA compile: excluded
+        save_every = cfg.checkpoint.save_every_steps if ckpt is not None else 0
+        steps_since_save = 0
         for epoch in range(start_epoch, cfg.optimizer.num_epochs):
             t0 = time.perf_counter()
             losses: list[float] = []
@@ -216,6 +231,9 @@ class Trainer:
                 )
             )
             for idx in batch_iter:
+                if skip_batches:  # mid-epoch resume: the epoch iterator is
+                    skip_batches -= 1  # seeded, so dropping the first N
+                    continue  # batches replays the interrupted epoch exactly
                 if first_dispatch and not stack and batch_source is None:
                     self.verify_pair_alignment(idx[: min(len(idx), 256)], train_pairs)
                 stack.append(idx.astype(np.int32))
@@ -232,14 +250,23 @@ class Trainer:
                     else:
                         seen += n_inner * b
                     losses.append(metrics["loss"])
+                    steps_since_save += n_inner
+                    if save_every and steps_since_save >= save_every:
+                        ckpt.save_step(state, epoch)
+                        steps_since_save = 0
             for idx in stack:  # remainder: single steps
                 state, metrics = single_step(
                     state, put_idx(idx.astype(np.int32)), n_store, c_store
                 )
                 seen += b
                 losses.append(metrics["loss"][None] if metrics["loss"].ndim == 0 else metrics["loss"])
-            epoch_losses = np.concatenate([np.atleast_1d(np.asarray(l)) for l in losses])
-            train_loss = float(epoch_losses[-min(len(epoch_losses), 20):].mean())
+                steps_since_save += 1
+                if save_every and steps_since_save >= save_every:
+                    ckpt.save_step(state, epoch)
+                    steps_since_save = 0
+            if losses:  # can be empty when a resume skipped the whole epoch
+                epoch_losses = np.concatenate([np.atleast_1d(np.asarray(l)) for l in losses])
+                train_loss = float(epoch_losses[-min(len(epoch_losses), 20):].mean())
             dt = time.perf_counter() - t0
             examples_per_sec = seen / dt
 

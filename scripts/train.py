@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--pair-limit", type=int)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--save-every-steps",
+        type=int,
+        help="mid-epoch preemption-safe checkpoints every N steps; "
+        "--resume then restarts from the exact step (bit-identical)",
+    )
     p.add_argument("--no-corpus-eval", action="store_true")
     p.add_argument("--seed", type=int)
     p.add_argument(
@@ -66,6 +72,10 @@ def main(argv=None) -> int:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, pair_limit=args.pair_limit))
     if args.seed is not None:
         cfg = cfg.replace(seed=args.seed)
+    if args.save_every_steps is not None:
+        cfg = cfg.replace(
+            checkpoint=dataclasses.replace(cfg.checkpoint, save_every_steps=args.save_every_steps)
+        )
 
     if args.synthetic or not args.data_dir:
         from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
