@@ -205,6 +205,81 @@ def fused_stats(
 
 
 # ---------------------------------------------------------------------------
+# forward: lean loss-only kernel (no rank / plain sums)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_lean_kernel(n_ref, c_ref, row_ref, col_ref, colm_ref, cols_ref):
+    """Loss-only stats: row_lse, diag, col_lse. Skips the rank / row_sum /
+    col_sum VPU passes of :func:`_fwd_kernel` — at B=8192 the kernel is
+    VPU-bound on its reductions, not MXU-bound on the dot, so the loss path
+    (label_smoothing == 0, metrics not requested) saves ~a third of the
+    forward kernel time. row_ref: [bm, 2] out (lse, diag); col_ref: [1, B]
+    out (lse, written on the last block)."""
+    i = pl.program_id(0)
+    nblk = n_ref.shape[0]
+
+    s = jnp.dot(
+        n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32
+    )  # [bm, B]
+
+    row_max = jnp.max(s, axis=1, keepdims=True)
+    row_lse = jnp.log(jnp.sum(jnp.exp(s - row_max), axis=1, keepdims=True)) + row_max
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    diag = jnp.sum(jnp.where(cols == rows + i * nblk, s, 0.0), axis=1, keepdims=True)
+    row_ref[:, :] = jnp.concatenate([row_lse, diag], axis=1)
+
+    blk_max = jnp.max(s, axis=0, keepdims=True)  # [1, B]
+
+    @pl.when(i == 0)
+    def _():
+        colm_ref[:, :] = jnp.full_like(blk_max, _NEG_INF)
+        cols_ref[:, :] = jnp.zeros_like(blk_max)
+
+    old_m = colm_ref[:, :]
+    new_m = jnp.maximum(old_m, blk_max)
+    scale = jnp.exp(old_m - new_m)
+    blk_exp = jnp.sum(jnp.exp(s - new_m), axis=0, keepdims=True)
+    colm_ref[:, :] = new_m
+    cols_ref[:, :] = cols_ref[:, :] * scale + blk_exp
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        col_ref[0:1, :] = jnp.log(cols_ref[:, :]) + colm_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_lean_call(n_scaled, c, *, interpret: bool = False):
+    """Returns (row_lse [B], diag [B], col_lse [B])."""
+    b, d = n_scaled.shape
+    bm = _BM if b % _BM == 0 else b
+    grid = (b // bm,)
+    row_stats, col_lse = pl.pallas_call(
+        _fwd_lean_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_scaled.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
+    return row_stats[:, 0], row_stats[:, 1], col_lse[0]
+
+
+# ---------------------------------------------------------------------------
 # loss from stats
 # ---------------------------------------------------------------------------
 
@@ -302,6 +377,22 @@ def _fused_bwd_call(n_scaled, c, row_lse, col_lse, eps, *, interpret: bool = Fal
 # ---------------------------------------------------------------------------
 
 
+def _ce_primal(n, c, temperature, label_smoothing, interpret):
+    """Loss + (row_lse, col_lse) residuals. With label_smoothing == 0 the
+    loss needs only row_lse/diag/col_lse, so the lean kernel skips the
+    rank/sum VPU passes (the stats kernel is VPU-bound, not MXU-bound)."""
+    n_scaled = n.astype(jnp.float32) / temperature
+    b, d = n_scaled.shape
+    if label_smoothing == 0.0 and _supported(b, d):
+        row_lse, diag, col_lse = _fused_lean_call(
+            n_scaled, c.astype(jnp.float32), interpret=interpret
+        )
+        loss = 0.5 * (jnp.mean(row_lse - diag) + jnp.mean(col_lse - diag))
+        return loss, (row_lse, col_lse)
+    stats = fused_stats(n, c, temperature=temperature, interpret=interpret)
+    return _loss_from_stats(stats, label_smoothing), (stats.row_lse, stats.col_lse)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def fused_bidirectional_ce(
     n: jax.Array,
@@ -311,14 +402,12 @@ def fused_bidirectional_ce(
     interpret: bool = False,
 ) -> jax.Array:
     """Bidirectional in-batch-negatives CE, O(B·D) HBM traffic."""
-    stats = fused_stats(n, c, temperature=temperature, interpret=interpret)
-    return _loss_from_stats(stats, label_smoothing)
+    return _ce_primal(n, c, temperature, label_smoothing, interpret)[0]
 
 
 def _ce_fwd(n, c, temperature, label_smoothing, interpret):
-    stats = fused_stats(n, c, temperature=temperature, interpret=interpret)
-    loss = _loss_from_stats(stats, label_smoothing)
-    return loss, (n, c, stats.row_lse, stats.col_lse)
+    loss, (row_lse, col_lse) = _ce_primal(n, c, temperature, label_smoothing, interpret)
+    return loss, (n, c, row_lse, col_lse)
 
 
 def _ce_bwd(temperature, label_smoothing, interpret, res, g):
