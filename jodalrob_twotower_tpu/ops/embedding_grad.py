@@ -42,7 +42,9 @@ def _grad_kernel(tile_feature_ref, tile_row_ref, rows_ref, g_ref, out_ref):
     tile_row_ref:     prefetched int32 [T] tile -> first global row
     rows_ref: [K, B] int32, FULL array in VMEM (1 MB at B=8192, K=32);
               the tile's feature row is selected with a dynamic sublane index
-    g_ref:    [1, B, D] f32 block (upstream grads of the tile's feature)
+    g_ref:    [1, B, D] bf16 block (upstream grads of the tile's feature;
+              the caller casts before its feature-major transpose so the
+              relayout copy moves half the bytes)
     out_ref:  [TILE_ROWS, D] f32 block
     """
     t = pl.program_id(0)

@@ -70,19 +70,26 @@ def build(cfg_kwargs_model=None, cfg_kwargs_loss=None):
     )
 
 
-def setup(cfg):
+def setup_data():
+    """Config-independent: synthetic dataset + device-resident stores.
+    Built ONCE — regenerating per variant re-uploads ~600 MB over the
+    ~100 MB/s host link."""
     schema = reference_shaped_schema()
     ds = make_synthetic_dataset(
         schema, n_notices=100_000, n_companies=100_000, n_pairs=400_000,
         n_clusters=256, seed=0,
     )
-    model = TwoTowerModel(schema, cfg.model)
-    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:B])
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 1000)
     n_store = device_store(ds.notice_store)
     c_store = device_store(ds.company_store)
     pairs_dev = jax.device_put(ds.pairs.astype(np.int32))
-    return model, state, tx, n_store, c_store, pairs_dev
+    return ds, n_store, c_store, pairs_dev
+
+
+def setup_state(cfg, ds):
+    model = TwoTowerModel(ds.schema, cfg.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:B])
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 1000)
+    return model, state, tx
 
 
 def timeit(name, fn, state, *args):
@@ -112,8 +119,24 @@ def gather_batch(pair_idx, n_store, c_store):
     )
 
 
+def make_full_step(model, cfg, tx):
+    """The PRODUCTION sampled multi-step — measured via the real code path
+    (train_step.make_sampled_train_steps) so the profiler cannot drift from
+    what bench.py and the Trainer run. Output adapted to timeit's (state,
+    array) contract."""
+    steps = make_sampled_train_steps(model, cfg, tx, N_INNER, B)
+
+    def fn(state, key, pairs_dev, n_store, c_store):
+        state, metrics = steps(state, key, pairs_dev, n_store, c_store)
+        return state, metrics["loss"]
+
+    return fn
+
+
 def make_variant(model, cfg, tx, mode):
-    """mode: full | fwd_only | no_opt | gather_only | sample_only"""
+    """Ablations of the step body: fwd_only | no_opt | gather_only |
+    sample_only (plus 'full' for config-toggle variants, equivalent to the
+    production step)."""
 
     def steps_fn(state, sample_key, pairs_dev, notice_store, company_store):
         n_pairs = pairs_dev.shape[0]
@@ -181,23 +204,31 @@ _LOSS_TOGGLES = {"xla_loss": {"use_fused_logits": False}}
 
 
 def run_variants(want):
+    unknown = [n for n in want if n not in VARIANTS]
+    if unknown:
+        raise SystemExit(f"unknown variant(s) {unknown}; choose from {VARIANTS}")
+    ds, n_store, c_store, pairs_dev = setup_data()
     base_cfg = build()
-    base = setup(base_cfg)
+    base = setup_state(base_cfg, ds)
     for name in want:
-        if name in ("full", "no_opt", "fwd_only", "gather_only", "sample_only"):
-            model, state, tx, n_store, c_store, pairs_dev = base
+        if name == "full":
+            model, state, tx = base
+            fn = make_full_step(model, base_cfg, tx)
+        elif name in ("no_opt", "fwd_only", "gather_only", "sample_only"):
+            model, state, tx = base
             fn = make_variant(model, base_cfg, tx, name)
         else:
             cfg = build(_MODEL_TOGGLES.get(name, {}), _LOSS_TOGGLES.get(name, {}))
-            model, state, tx, n_store, c_store, pairs_dev = setup(cfg)
+            model, state, tx = setup_state(cfg, ds)
             fn = make_variant(model, cfg, tx, "full")
         timeit(name, fn, state, pairs_dev, n_store, c_store)
 
 
 def run_trace(n_dispatch=3, top=40):
     cfg = build()
-    model, state, tx, n_store, c_store, pairs_dev = setup(cfg)
-    fn = make_variant(model, cfg, tx, "full")
+    ds, n_store, c_store, pairs_dev = setup_data()
+    model, state, tx = setup_state(cfg, ds)
+    fn = make_full_step(model, cfg, tx)
     state = jax.tree.map(jnp.copy, state)
     state, out = fn(state, jax.random.PRNGKey(99), pairs_dev, n_store, c_store)
     float(np.asarray(out).ravel()[0])
@@ -210,7 +241,13 @@ def run_trace(n_dispatch=3, top=40):
     float(np.asarray(out).ravel()[0])
     jax.profiler.stop_trace()
 
-    path = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    traces = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))
+    if not traces:
+        raise SystemExit(
+            f"profiler produced no trace.json.gz under {tdir} — "
+            f"contents: {glob.glob(tdir + '/**', recursive=True)}"
+        )
+    path = traces[-1]
     with gzip.open(path) as f:
         d = json.load(f)
     ev = d["traceEvents"]
