@@ -62,6 +62,11 @@ class CategoricalPreprocessor:
             for k, v in (configs or {}).items()
         }
         self.vocabs: dict[str, dict[str, int]] = {}
+        # values SEEN at fit but not kept in the vocab (below rare_threshold
+        # or trimmed by max_vocab) -> map to [RARE] at transform; values
+        # never seen -> [UNKNOWN] (reference semantics,
+        # categorical_preprocess.py:34-119)
+        self.rares: dict[str, set[str]] = {}
 
     @property
     def fitted(self) -> bool:
@@ -104,6 +109,8 @@ class CategoricalPreprocessor:
             for i, v in enumerate(kept):
                 vocab[v] = _N_SPECIAL + i
             self.vocabs[col] = vocab
+            kept_set = set(kept)
+            self.rares[col] = {v for v, _ in items if v not in kept_set}
         return self
 
     # -- transform -----------------------------------------------------------
@@ -119,16 +126,16 @@ class CategoricalPreprocessor:
             raw = np.asarray(table[col], dtype=object)
             ids = np.empty(len(raw), dtype=np.int32)
             nulls = np.zeros(len(raw), dtype=np.float32)
-            # rare values were excluded from the vocab at fit; at transform
-            # a fit-time-rare value is indistinguishable from unseen, so both
-            # map to RARE/UNKNOWN semantics: seen-but-rare -> RARE happens
-            # only when rare values kept a marker; here unseen -> UNKNOWN.
+            rares = self.rares.get(col, set())
+            # seen-but-rare (below threshold / max_vocab-trimmed at fit)
+            # -> [RARE]; genuinely unseen -> [UNKNOWN]
             for i, v in enumerate(raw):
                 if _is_null(v):
                     ids[i] = NULL_ID
                     nulls[i] = 1.0
                 else:
-                    ids[i] = vocab.get(self._norm(v, cfg), UNKNOWN_ID)
+                    s = self._norm(v, cfg)
+                    ids[i] = vocab.get(s, RARE_ID if s in rares else UNKNOWN_ID)
             if cfg.null_flag:
                 out[f"{col}_is_null"] = nulls
             out[col] = ids
@@ -157,6 +164,7 @@ class CategoricalPreprocessor:
         return {
             "configs": {k: dataclasses.asdict(v) for k, v in self.configs.items()},
             "vocabs": self.vocabs,
+            "rares": {k: sorted(v) for k, v in self.rares.items()},
         }
 
     def save(self, path: str | Path) -> None:
@@ -166,6 +174,7 @@ class CategoricalPreprocessor:
     def from_dict(cls, d: Mapping) -> "CategoricalPreprocessor":
         obj = cls(d.get("configs", {}))
         obj.vocabs = {k: dict(v) for k, v in d.get("vocabs", {}).items()}
+        obj.rares = {k: set(v) for k, v in d.get("rares", {}).items()}
         return obj
 
     @classmethod

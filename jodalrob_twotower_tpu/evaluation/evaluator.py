@@ -65,7 +65,10 @@ class Evaluator:
         n = 0
         batch_size = 0
         for batch in batches:
-            m = self._eval_step(state, batch)
+            # ONE device fetch per batch — per-metric float(v) would cost a
+            # full host round trip each (~9 fetches/batch; the tunneled link
+            # charges ~30 ms per synchronous fetch)
+            m = jax.device_get(self._eval_step(state, batch))
             batch_size = batch.batch_size
             for k, v in m.items():
                 total[k] = total.get(k, 0.0) + float(v)

@@ -84,6 +84,9 @@ def _encode_feature(value) -> bytes:
         arr = arr.tolist() if arr.ndim else [arr.item()]
     if not isinstance(arr, (list, tuple)):
         arr = [arr]
+    # numpy scalars (np.float32 etc.) are NOT python float/int subclasses;
+    # without this they fall through to the int branch and truncate floats
+    arr = [a.item() if isinstance(a, np.generic) else a for a in arr]
     if len(arr) and isinstance(arr[0], (bytes, str)):
         payload = b"".join(
             _len_delim(1, v.encode() if isinstance(v, str) else v) for v in arr

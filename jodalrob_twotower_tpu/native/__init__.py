@@ -66,18 +66,31 @@ def lib() -> ctypes.CDLL | None:
 _DEFAULT_THREADS = min(os.cpu_count() or 1, 16)
 
 
-def _as_i64_ptr(rows: np.ndarray):
+def _check_bounds(rows: np.ndarray, n_src_rows: int) -> np.ndarray:
+    """Indices must be in [0, n): the C++ kernel does raw memcpy arithmetic
+    (no negative wrapping), so enforce ONE contract on both the native and
+    numpy paths rather than silently reading arbitrary memory."""
     rows = np.ascontiguousarray(rows, dtype=np.int64)
-    return rows, rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    if rows.size and (rows.min() < 0 or rows.max() >= n_src_rows):
+        raise IndexError(
+            f"row indices out of bounds for source with {n_src_rows} rows "
+            f"(min {rows.min()}, max {rows.max()}; negatives not allowed)"
+        )
+    return rows
+
+
+def _as_i64_ptr(rows: np.ndarray):
+    return rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
 def gather_rows(src: np.ndarray, rows: np.ndarray, *, n_threads: int | None = None) -> np.ndarray:
     """Multithreaded dst = src[rows]; numpy fallback when native is absent."""
+    rows = _check_bounds(rows, src.shape[0])
     l = lib()
     if l is None:
         return src[rows]
     src = np.ascontiguousarray(src)
-    rows, rows_ptr = _as_i64_ptr(rows)
+    rows_ptr = _as_i64_ptr(rows)
     out = np.empty((rows.shape[0],) + src.shape[1:], dtype=src.dtype)
     row_bytes = src.strides[0]
     l.gather_rows(
@@ -95,26 +108,27 @@ def gather_pair_batch(
     *, n_threads: int | None = None,
 ):
     """Assemble all four batch matrices in one native thread-pool pass."""
+    nr = _check_bounds(notice_rows, n_dense.shape[0])
+    cr = _check_bounds(company_rows, c_dense.shape[0])
     l = lib()
     if l is None:
         return (
-            n_dense[notice_rows], n_cat[notice_rows],
-            c_dense[company_rows], c_cat[company_rows],
+            n_dense[nr], n_cat[nr],
+            c_dense[cr], c_cat[cr],
         )
-    b = notice_rows.shape[0]
-    nr, nr_p = _as_i64_ptr(notice_rows)
-    cr, cr_p = _as_i64_ptr(company_rows)
-    outs = [
-        np.empty((b,) + m.shape[1:], dtype=m.dtype)
-        for m in (n_dense, n_cat, c_dense, c_cat)
-    ]
+    b = nr.shape[0]
+    nr_p, cr_p = _as_i64_ptr(nr), _as_i64_ptr(cr)
+    # materialize contiguous sources FIRST and take strides from the copies
+    # — passing the original (possibly sliced/non-contiguous) arrays'
+    # strides with the copies' data pointers would walk the wrong pitch
+    srcs = [np.ascontiguousarray(m) for m in (n_dense, n_cat, c_dense, c_cat)]
+    outs = [np.empty((b,) + m.shape[1:], dtype=m.dtype) for m in srcs]
     l.gather_pair_batch(
-        *(np.ascontiguousarray(m).ctypes.data_as(ctypes.c_char_p)
-          for m in (n_dense, n_cat, c_dense, c_cat)),
+        *(m.ctypes.data_as(ctypes.c_char_p) for m in srcs),
         nr_p, cr_p,
         *(o.ctypes.data_as(ctypes.c_char_p) for o in outs),
         b,
-        n_dense.strides[0], n_cat.strides[0], c_dense.strides[0], c_cat.strides[0],
+        *(m.strides[0] for m in srcs),
         n_threads or _DEFAULT_THREADS,
     )
     return tuple(outs)

@@ -210,25 +210,24 @@ def fused_stats(
 
 
 def _fwd_lean_kernel(n_ref, c_ref, row_ref, col_ref, colm_ref, cols_ref):
-    """Loss-only stats: row_lse, diag, col_lse. Skips the rank / row_sum /
-    col_sum VPU passes of :func:`_fwd_kernel` — at B=8192 the kernel is
-    VPU-bound on its reductions, not MXU-bound on the dot, so the loss path
-    (label_smoothing == 0, metrics not requested) saves ~a third of the
-    forward kernel time. row_ref: [bm, 2] out (lse, diag); col_ref: [1, B]
-    out (lse, written on the last block)."""
+    """Loss-only stats: row_lse and col_lse. Skips the rank / row_sum /
+    col_sum / diag VPU passes of :func:`_fwd_kernel` — at B=8192 the kernel
+    is VPU-bound on its reductions, not MXU-bound on the dot, so the loss
+    path (label_smoothing == 0, metrics not requested) saves ~a third of
+    the forward kernel time. The diagonal is NOT computed here: outside the
+    kernel it is a [B, D] rowsum (B·D elements) instead of a masked pass
+    over the [bm, B] tile (B² elements — 64x more work at D=128).
+    row_ref: [bm, 1] out (lse); col_ref: [1, B] out (lse, last block)."""
     i = pl.program_id(0)
-    nblk = n_ref.shape[0]
 
     s = jnp.dot(
         n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32
     )  # [bm, B]
 
     row_max = jnp.max(s, axis=1, keepdims=True)
-    row_lse = jnp.log(jnp.sum(jnp.exp(s - row_max), axis=1, keepdims=True)) + row_max
-    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    diag = jnp.sum(jnp.where(cols == rows + i * nblk, s, 0.0), axis=1, keepdims=True)
-    row_ref[:, :] = jnp.concatenate([row_lse, diag], axis=1)
+    row_ref[:, :] = (
+        jnp.log(jnp.sum(jnp.exp(s - row_max), axis=1, keepdims=True)) + row_max
+    )
 
     blk_max = jnp.max(s, axis=0, keepdims=True)  # [1, B]
 
@@ -251,11 +250,11 @@ def _fwd_lean_kernel(n_ref, c_ref, row_ref, col_ref, colm_ref, cols_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_lean_call(n_scaled, c, *, interpret: bool = False):
-    """Returns (row_lse [B], diag [B], col_lse [B])."""
+    """Returns (row_lse [B], col_lse [B])."""
     b, d = n_scaled.shape
     bm = _BM if b % _BM == 0 else b
     grid = (b // bm,)
-    row_stats, col_lse = pl.pallas_call(
+    row_lse, col_lse = pl.pallas_call(
         _fwd_lean_kernel,
         grid=grid,
         in_specs=[
@@ -263,11 +262,11 @@ def _fused_lean_call(n_scaled, c, *, interpret: bool = False):
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bm, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ],
         scratch_shapes=[
@@ -276,7 +275,7 @@ def _fused_lean_call(n_scaled, c, *, interpret: bool = False):
         ],
         interpret=interpret,
     )(n_scaled.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
-    return row_stats[:, 0], row_stats[:, 1], col_lse[0]
+    return row_lse[:, 0], col_lse[0]
 
 
 # ---------------------------------------------------------------------------
@@ -384,9 +383,14 @@ def _ce_primal(n, c, temperature, label_smoothing, interpret):
     n_scaled = n.astype(jnp.float32) / temperature
     b, d = n_scaled.shape
     if label_smoothing == 0.0 and _supported(b, d):
-        row_lse, diag, col_lse = _fused_lean_call(
+        row_lse, col_lse = _fused_lean_call(
             n_scaled, c.astype(jnp.float32), interpret=interpret
         )
+        # diag_i = S_ii as an O(B·D) rowsum; bf16-round the operands exactly
+        # like the kernel rounds its dot inputs so diag matches the lse's S
+        nb = n_scaled.astype(jnp.bfloat16).astype(jnp.float32)
+        cb = c.astype(jnp.bfloat16).astype(jnp.float32)
+        diag = jnp.sum(nb * cb, axis=1)
         loss = 0.5 * (jnp.mean(row_lse - diag) + jnp.mean(col_lse - diag))
         return loss, (row_lse, col_lse)
     stats = fused_stats(n, c, temperature=temperature, interpret=interpret)

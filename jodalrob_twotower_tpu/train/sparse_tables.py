@@ -94,17 +94,25 @@ def create_sparse_train_state(
     total_steps: int,
 ):
     """Init params, split tables out, build the dense optimizer."""
+    if cfg.optimizer.embedding_optimizer != "rowwise_adagrad":
+        raise ValueError(
+            "sparse_tables implements rowwise Adagrad table updates; "
+            f"embedding_optimizer={cfg.optimizer.embedding_optimizer!r} is only "
+            "available on the dense (non-sparse-tables) path"
+        )
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(
         {"params": init_rng, "dropout": init_rng}, example_batch, train=False
     )
     dense_params, tables = _split_embeddings(variables["params"])
-    tx = optax.adamw(
-        learning_rate=warmup_constant_schedule(
-            cfg.optimizer.learning_rate, total_steps, cfg.optimizer.warmup_ratio
-        ),
-        weight_decay=cfg.optimizer.weight_decay,
-    )
+    # the configured optimizer chain (AdamW + warmup + gradient_clip_norm)
+    # for the dense tree — with the embeddings split out every leaf labels
+    # 'dense', so this matches the standard path's dense behavior exactly.
+    # Note: clip applies to dense grads only; table grads bypass optax by
+    # design (the whole point is never materializing a full-table gradient).
+    from jodalrob_twotower_tpu.train.optimizer import build_optimizer
+
+    tx = build_optimizer(cfg.optimizer, total_steps)
     init_acc = cfg.optimizer.adagrad_init_accumulator
 
     def sparse(table):

@@ -303,7 +303,7 @@ def make_eval_step(
     """Eval step: forward (no dropout, frozen BN stats) + loss + metrics."""
 
     def eval_fn(state: TrainState, batch: PairBatch):
-        loss, (sim, _, _, _) = _forward_loss(
+        loss, (sim, n_emb, c_emb, _) = _forward_loss(
             model,
             cfg,
             state.params,
@@ -315,6 +315,15 @@ def make_eval_step(
         metrics = {"loss": loss}
         if sim is not None:
             metrics.update(in_batch_metrics(sim))
+        elif cfg.loss.loss_type == "cross_entropy":
+            # the fused loss path returns no similarity matrix; the fused
+            # stats kernel yields the identical metric surface without
+            # materializing it (ops/fused_logits.fused_in_batch_metrics)
+            from jodalrob_twotower_tpu.ops.fused_logits import fused_in_batch_metrics
+
+            metrics.update(
+                fused_in_batch_metrics(n_emb, c_emb, temperature=cfg.loss.temperature)
+            )
         return metrics
 
     return jax.jit(eval_fn) if jit else eval_fn

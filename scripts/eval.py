@@ -77,7 +77,11 @@ def main(argv=None) -> int:
         company_store = FeatureStore.from_parquet(schema.company, args.data_dir / "company.parquet")
         pairs = load_pairs_parquet(args.data_dir / "pairs.parquet", notice_store, company_store)
 
-    # the SAME validation split the Trainer carved out (seeded permutation)
+    # the SAME validation split the Trainer carved out: pair_limit truncation
+    # FIRST, then the seeded permutation (scripts/train.py order) — permuting
+    # the untruncated list would select a different, train-overlapping set
+    if cfg.data.pair_limit:
+        pairs = pairs[: cfg.data.pair_limit]
     rng = np.random.default_rng(cfg.data.shuffle_seed)
     perm = rng.permutation(len(pairs))
     n_test = int(round(len(pairs) * cfg.data.test_split))

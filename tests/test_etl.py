@@ -94,11 +94,14 @@ def test_categorical_special_tokens_and_rare():
     assert vocab["[NULL]"] == NULL_ID and vocab["[RARE]"] == RARE_ID
     assert "c" not in vocab  # collapsed (count 1 < threshold 2)
     assert ids[0] == vocab["a"] and ids[3] == vocab["b"]
-    assert ids[5] == UNKNOWN_ID  # rare value unseen in vocab -> UNKNOWN
+    assert ids[5] == RARE_ID  # seen-but-rare -> [RARE] (reference semantics)
     assert ids[6] == NULL_ID and ids[7] == NULL_ID
     np.testing.assert_array_equal(out["col_is_null"][-2:], [1.0, 1.0])
-    # unseen at transform -> UNKNOWN
+    # unseen at transform -> UNKNOWN (distinct from fit-time-rare -> RARE)
     assert pre.transform({"col": np.array(["zzz"], object)})["col"][0] == UNKNOWN_ID
+    # the rare set survives a JSON roundtrip
+    loaded = CategoricalPreprocessor.from_dict(pre.to_dict())
+    assert loaded.transform({"col": np.array(["c"], object)})["col"][0] == RARE_ID
 
 
 def test_categorical_input_dims_and_roundtrip(tmp_path):

@@ -43,6 +43,37 @@ def test_gather_pair_batch_matches_numpy(rng):
     np.testing.assert_array_equal(o[3], cc[cr])
 
 
+def test_gather_pair_batch_noncontiguous_views(rng):
+    """Sliced (non-contiguous) sources must gather correctly: the native
+    call takes strides from the contiguous copies, not the original views."""
+    nd = rng.normal(size=(300, 16)).astype(np.float32)
+    nc = rng.integers(0, 9, size=(300, 4)).astype(np.int32)
+    cd = rng.normal(size=(200, 8)).astype(np.float32)
+    cc = rng.integers(0, 9, size=(200, 2)).astype(np.int32)
+    nr = rng.integers(0, 300, size=64)
+    cr = rng.integers(0, 200, size=64)
+    o = native.gather_pair_batch(nd[:, :5], nc[:, :2], cd[:, :3], cc[:, :1], nr, cr)
+    np.testing.assert_array_equal(o[0], nd[nr][:, :5])
+    np.testing.assert_array_equal(o[1], nc[nr][:, :2])
+    np.testing.assert_array_equal(o[2], cd[cr][:, :3])
+    np.testing.assert_array_equal(o[3], cc[cr][:, :1])
+
+
+def test_gather_out_of_bounds_raises(rng):
+    """Bad row indices raise IndexError on native AND fallback paths (the
+    C++ kernel would otherwise memcpy from arbitrary memory)."""
+    src = rng.normal(size=(50, 4)).astype(np.float32)
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([0, 50], np.int64))
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([-51], np.int64))
+    cat = rng.integers(0, 5, size=(50, 2)).astype(np.int32)
+    with pytest.raises(IndexError):
+        native.gather_pair_batch(
+            src, cat, src, cat, np.array([49], np.int64), np.array([50], np.int64)
+        )
+
+
 def test_crc32c_known_vectors():
     # RFC 3720 test vectors for CRC32C
     assert native.crc32c(b"") == 0
@@ -70,6 +101,25 @@ def test_example_roundtrip():
     np.testing.assert_allclose(out["price"], ex["price"])
     assert out["region"] == ex["region"]
     assert out["title"] == [b"hello world"]
+
+
+def test_example_numpy_scalars_roundtrip():
+    """numpy scalars are not python float/int subclasses — without explicit
+    handling np.float32(1.75) fell into the int64 branch and decoded as 1
+    (silent truncation of every exported scalar float feature)."""
+    ex = {
+        "f32": np.float32(1.75),
+        "f64": np.float64(-2.5),
+        "i32": np.int32(-7),
+        "i64": np.int64(1 << 40),
+        "f_list": [np.float32(0.5), np.float32(2.25)],
+    }
+    out = decode_example(encode_example(ex))
+    np.testing.assert_allclose(out["f32"], [1.75])
+    np.testing.assert_allclose(out["f64"], [-2.5])
+    assert out["i32"] == [-7]
+    assert out["i64"] == [1 << 40]
+    np.testing.assert_allclose(out["f_list"], [0.5, 2.25])
 
 
 @pytest.mark.parametrize("compress", [False, True])

@@ -88,6 +88,22 @@ def test_learns_above_random_baseline(trained):
     assert m["similarity_gap"] > 0.1, m
 
 
+def test_eval_metrics_present_under_fused_loss(trained):
+    """With use_fused_logits the loss path returns no similarity matrix;
+    the eval step must still produce the full ranking-metric surface (via
+    fused_in_batch_metrics) — it previously reported loss only, making a
+    trained model look 'no better than random' in every epoch log."""
+    model, state, ds, test_pairs, _ = trained
+    fused_cfg = _CFG.replace(loss=LossConfig(temperature=0.1, use_fused_logits=True))
+    eval_step = make_eval_step(model, fused_cfg)
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, test_pairs[:64])
+    m = {k: float(v) for k, v in eval_step(state, batch).items()}
+    plain = {k: float(v) for k, v in make_eval_step(model, _CFG)(state, batch).items()}
+    for key in ("accuracy", "recall@5", "recall@10", "mrr", "auc", "similarity_gap"):
+        assert key in m, sorted(m)
+        np.testing.assert_allclose(m[key], plain[key], rtol=1e-4, atol=1e-5)
+
+
 def test_gradients_reach_every_param(tiny_dataset):
     """Reference tower_test asserted per-parameter gradient flow
     (src/towers/test/tower_test.py:53-122)."""
