@@ -9,9 +9,19 @@ regimes here:
   scans, unified_bid_data_loader.py:183-219,375-406).
 
 Chunks are read with pyarrow's batch iterator on a background thread,
-key-joined to store rows, shuffled within a chunk window, and emitted as
-[B, 2] int32 index batches ready for the indexed train step. Per-host
-sharding for multi-host training takes every process_count-th chunk.
+key-joined to store rows with a vectorized sorted-array lookup, sharded
+across hosts, shuffled within a chunk window, and emitted as [B, 2] int32
+index batches ready for the indexed train step.
+
+Multi-host sharding is LOCKSTEP by construction: every host reads and joins
+every chunk identically, trims it to a multiple of host_count, and takes
+the strided row slice [host_index::host_count]. Per chunk every host gets
+exactly the same row count, so every host yields the same number of batches
+— the invariant SPMD collectives require (a host running extra steps would
+hang the mesh waiting for participants). Chunk round-robin (each host reads
+every N-th chunk) was rejected: variable chunk sizes and per-chunk key
+drops give hosts unequal batch counts. The cost — each host parses all pair
+chunks — is two key columns per row, negligible next to feature IO.
 
 (The reference's mode 4 — features too large for the host — is covered by
 the host-streaming `train_batches` path plus sharded stores; on TPU the
@@ -30,6 +40,30 @@ import numpy as np
 from jodalrob_twotower_tpu.data.feature_store import FeatureStore
 
 
+class _KeyIndex:
+    """Vectorized key -> row lookup (sorted array + searchsorted).
+
+    The per-row python dict join it replaces cost ~20M dict gets per 10M-pair
+    epoch per host — a multi-second host stall per epoch in a pipeline whose
+    point is that the device never waits on the host.
+    """
+
+    def __init__(self, store: FeatureStore) -> None:
+        keys = np.asarray(store.keys).astype(str)
+        self._order = np.argsort(keys).astype(np.int64)
+        self._sorted = keys[self._order]
+
+    def lookup(self, query: np.ndarray) -> np.ndarray:
+        """rows [N] int64; -1 where the key is absent."""
+        query = np.asarray(query).astype(str)
+        if not len(self._sorted):
+            return np.full(len(query), -1, dtype=np.int64)
+        pos = np.searchsorted(self._sorted, query)
+        pos_c = np.minimum(pos, len(self._sorted) - 1)
+        rows = self._order[pos_c]
+        return np.where(self._sorted[pos_c] == query, rows, -1)
+
+
 def stream_pair_chunks(
     paths: Sequence[str | Path] | str | Path,
     notice_store: FeatureStore,
@@ -40,42 +74,38 @@ def stream_pair_chunks(
     host_count: int = 1,
     on_missing: str = "drop",
 ) -> Iterator[np.ndarray]:
-    """Yield pair-index chunks (int64 [<=chunk_rows, 2]) from parquet files.
+    """Yield pair-index chunks (int64 [<=chunk_rows//host_count, 2]).
 
     Files hold (notice_key, company_key) columns (data/parquet_dataset.py).
     Keys are joined to store rows chunk-by-chunk; missing keys drop
     (reference guaranteed-ID-match semantics) or raise per ``on_missing``.
-    Chunks are round-robined across hosts for multi-host data sharding.
+    Every host receives exactly ``kept // host_count`` rows of each chunk
+    (strided slice after an identical join), keeping hosts in lockstep.
     """
     import pyarrow.parquet as pq
 
     if isinstance(paths, (str, Path)):
         paths = [paths]
-    n_map = notice_store.key_to_row
-    c_map = company_store.key_to_row
-    chunk_idx = 0
+    n_idx = _KeyIndex(notice_store)
+    c_idx = _KeyIndex(company_store)
     for path in paths:
         pf = pq.ParquetFile(str(path))
         for batch in pf.iter_batches(batch_size=chunk_rows, columns=["notice_key", "company_key"]):
-            take = chunk_idx % host_count == host_index
-            chunk_idx += 1
-            if not take:
-                continue
-            n_keys = batch.column(0).to_pylist()
-            c_keys = batch.column(1).to_pylist()
-            rows = np.empty((len(n_keys), 2), dtype=np.int64)
-            kept = 0
-            for nk, ck in zip(n_keys, c_keys):
-                ni = n_map.get(nk)
-                ci = c_map.get(ck)
-                if ni is None or ci is None:
-                    if on_missing == "error":
-                        raise KeyError(f"pair references missing key ({nk!r}, {ck!r})")
-                    continue
-                rows[kept] = (ni, ci)
-                kept += 1
-            if kept:
-                yield rows[:kept]
+            n_rows = n_idx.lookup(batch.column(0).to_numpy(zero_copy_only=False))
+            c_rows = c_idx.lookup(batch.column(1).to_numpy(zero_copy_only=False))
+            ok = (n_rows >= 0) & (c_rows >= 0)
+            if on_missing == "error" and not ok.all():
+                i = int(np.argmin(ok))
+                raise KeyError(
+                    "pair references missing key "
+                    f"({batch.column(0)[i].as_py()!r}, {batch.column(1)[i].as_py()!r})"
+                )
+            rows = np.stack([n_rows[ok], c_rows[ok]], axis=1)
+            # lockstep trim: same count on every host, no matter how many
+            # rows this chunk had or how many keys dropped
+            per_host = len(rows) // host_count
+            if per_host:
+                yield np.ascontiguousarray(rows[host_index::host_count][:per_host])
 
 
 def streaming_index_batches(
@@ -91,24 +121,31 @@ def streaming_index_batches(
 
     Within-chunk shuffling (the reference's streaming mode shuffled within
     the loaded window too); the carry between chunks keeps remainder rows so
-    nothing is dropped mid-stream.
+    nothing is dropped mid-stream. An exception in the chunk iterator is
+    re-raised HERE, on the consuming thread — swallowing it would turn a
+    broken data source into a silently shorter "successful" epoch.
     """
     q: queue.Queue = queue.Queue(maxsize=prefetch_chunks)
+    _DONE, _ERROR = object(), object()
 
     def reader():
         try:
             for chunk in pair_chunks:
                 q.put(chunk)
-        finally:
-            q.put(None)
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            q.put((_ERROR, e))
+            return
+        q.put(_DONE)
 
     threading.Thread(target=reader, daemon=True).start()
     rng = np.random.default_rng(seed)
     carry = np.empty((0, 2), dtype=np.int64)
     while True:
         chunk = q.get()
-        if chunk is None:
+        if chunk is _DONE:
             break
+        if isinstance(chunk, tuple) and chunk[0] is _ERROR:
+            raise chunk[1]
         if shuffle:
             chunk = chunk[rng.permutation(len(chunk))]
         if len(carry):

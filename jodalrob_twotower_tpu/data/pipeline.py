@@ -126,18 +126,26 @@ class BackgroundAssembler:
         )
         self._thread.start()
 
+    _DONE, _ERROR = object(), object()
+
     def _run(self, index_batches: Iterable[np.ndarray]) -> None:
         try:
             for idx in index_batches:
                 self._q.put(assemble_pair_batch(self._stores[0], self._stores[1], idx))
-        finally:
-            self._q.put(None)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the consumer
+            # swallowing would launder a data-pipeline bug into a silently
+            # shorter "successful" epoch
+            self._q.put((self._ERROR, e))
+            return
+        self._q.put(self._DONE)
 
     def __iter__(self) -> Iterator[PairBatch]:
         while True:
             item = self._q.get()
-            if item is None:
+            if item is self._DONE:
                 return
+            if isinstance(item, tuple) and item and item[0] is self._ERROR:
+                raise item[1]
             yield item
 
 

@@ -55,12 +55,21 @@ def process_info() -> tuple[int, int]:
 
 def host_shard_pairs(pairs: np.ndarray) -> np.ndarray:
     """Strided split of the pair list across hosts (every host must end up
-    with the same number of batches; trim to the common multiple)."""
+    with the same number of batches; trim to the common multiple).
+
+    Strided (pairs[idx::count]) rather than contiguous blocks: pair lists
+    commonly arrive sorted by notice id, and a block split would hand each
+    host a distributionally skewed slice."""
     idx, count = process_info()
     if count == 1:
         return pairs
     per_host = len(pairs) // count
-    return pairs[idx * per_host : (idx + 1) * per_host]
+    if per_host == 0:
+        raise ValueError(
+            f"{len(pairs)} pairs cannot be sharded over {count} hosts — every "
+            "host would train on nothing (collectives would hang, not error)"
+        )
+    return pairs[idx::count][:per_host]
 
 
 def host_local_batch_to_global(mesh, spec, host_arrays):

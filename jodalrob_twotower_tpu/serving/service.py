@@ -86,6 +86,13 @@ class RetrievalService:
                     state, company_store.dense, company_store.cat_ids, side="company"
                 )
             if mesh is not None:
+                if corpus_chunk is not None:
+                    raise ValueError(
+                        "corpus_chunk is not supported with a mesh: ShardedIndex "
+                        "scores each shard whole — bound per-chip memory by the "
+                        "shard size (more devices) instead. Silently ignoring the "
+                        "request would OOM at exactly the corpus sizes it targets."
+                    )
                 self.index = ShardedIndex(
                     corpus_emb, mesh, kind=index_kind, query_chunk=query_chunk,
                     approx_recall=approx_recall,
@@ -105,13 +112,18 @@ class RetrievalService:
 
         encode_body = make_encode_fn(model, "notice", jit=False)
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def _fused_impl(state, batch, k, *corpus_args):
-            s, i = self.index.topk_body(encode_body(state, batch), k, *corpus_args)
+        # topk_body is a STATIC jit argument: the index's python metadata
+        # (n_valid padding mask, shard offsets, chunking) is baked into the
+        # trace, so replacing/rebuilding service.index must retrace — keying
+        # the cache on the bound method (hashes by index identity) does that.
+        # Only the corpus ARRAYS ride as dynamic args.
+        @functools.partial(jax.jit, static_argnums=(0, 3))
+        def _fused_impl(topk_body, state, batch, k, *corpus_args):
+            s, i = topk_body(encode_body(state, batch), k, *corpus_args)
             return (s if payload_dtype is None else s.astype(payload_dtype)), i
 
         self._fused = lambda state, batch, k: _fused_impl(
-            state, batch, k, *self.index.corpus_args()
+            self.index.topk_body, state, batch, k, *self.index.corpus_args()
         )
 
     def encode_queries(self, batch: TowerBatch) -> jax.Array:

@@ -10,6 +10,7 @@ the original shardings, instead of a torch state_dict.
 from __future__ import annotations
 
 import json
+import re
 import shutil
 from pathlib import Path
 from typing import Any
@@ -64,8 +65,14 @@ class CheckpointManager:
                 json.dumps({"epoch": epoch, "metric": float(metric)})
             )
 
-    def save_step(self, state: TrainState, epoch: int) -> None:
+    def save_step(self, state: TrainState, epoch: int, batch_in_epoch: int) -> None:
         """Mid-epoch checkpoint for preemption recovery.
+
+        ``batch_in_epoch`` is the EXACT number of batches the epoch iterator
+        has yielded so far this epoch — recorded rather than derived from a
+        nominal steps_per_epoch at resume time, because for streaming runs
+        the actual per-epoch batch count need not match the nominal one (a
+        derived skip would silently re-train or skip data).
 
         Double-buffered: alternates between ``step_a/`` and ``step_b/`` and
         only flips the ``step.json`` pointer (atomic rename) after the save
@@ -78,20 +85,30 @@ class CheckpointManager:
         tmp = self.dir / "step.json.tmp"
         tmp.write_text(
             json.dumps(
-                {"dir": nxt, "epoch": int(epoch), "step": int(jax.device_get(state.step))}
+                {
+                    "dir": nxt,
+                    "epoch": int(epoch),
+                    "step": int(jax.device_get(state.step)),
+                    "batch": int(batch_in_epoch),
+                }
             )
         )
         tmp.replace(ptr)
 
-    def restore_step(self, target: TrainState) -> tuple[TrainState, int, int] | None:
-        """Restore the newest mid-epoch checkpoint -> (state, epoch, step),
-        or None if no step checkpoint exists."""
+    def restore_step(self, target: TrainState) -> tuple[TrainState, int, int, int | None] | None:
+        """Restore the newest mid-epoch checkpoint -> (state, epoch, step,
+        batch_in_epoch), or None if no step checkpoint exists.
+        ``batch_in_epoch`` is None for checkpoints written before it was
+        recorded (callers fall back to deriving it)."""
         ptr = self.dir / "step.json"
         if not ptr.exists():
             return None
         meta = json.loads(ptr.read_text())
         state = self.restore(meta["dir"], target)
-        return state, int(meta["epoch"]), int(meta["step"])
+        batch = meta.get("batch")
+        return state, int(meta["epoch"]), int(meta["step"]), (
+            int(batch) if batch is not None else None
+        )
 
     def finalize(self, state: TrainState) -> None:
         if self.cfg.save_final:
@@ -117,12 +134,29 @@ class CheckpointManager:
         self._ckptr.save(path.absolute(), {"params": params, "batch_stats": state.batch_stats})
         self._ckptr.wait_until_finished()
 
+    _EPOCH_RE = re.compile(r"^epoch_(\d+)$")
+
+    def _epoch_dirs(self) -> list[tuple[int, Path]]:
+        """COMPLETE epoch checkpoints only. A preemption mid-save leaves an
+        'epoch_N.orbax-checkpoint-tmp' sibling behind (orbax saves to a tmp
+        dir, then renames); a naive int(name.split('_')[1]) on that raises
+        ValueError and bricks resume — exactly the preemption the step
+        checkpoints exist to survive. Match the exact epoch_<int> pattern
+        and require the checkpoint-complete marker."""
+        out = []
+        for p in self.dir.glob("epoch_*"):
+            m = self._EPOCH_RE.match(p.name)
+            if m and p.is_dir() and (p / "_CHECKPOINT_METADATA").exists():
+                out.append((int(m.group(1)), p))
+        return sorted(out)
+
     def _prune_epochs(self) -> None:
-        epochs = sorted(
-            (int(p.name.split("_")[1]), p) for p in self.dir.glob("epoch_*") if p.is_dir()
-        )
+        epochs = self._epoch_dirs()
         for _, p in epochs[: max(len(epochs) - self.cfg.keep_n, 0)]:
             shutil.rmtree(p)
+        # leftover tmp dirs from interrupted saves are dead weight
+        for p in self.dir.glob("*.orbax-checkpoint-tmp"):
+            shutil.rmtree(p, ignore_errors=True)
 
     # -- restore -----------------------------------------------------------
     def available(self) -> list[str]:
@@ -131,8 +165,8 @@ class CheckpointManager:
         )
 
     def latest_epoch(self) -> int | None:
-        epochs = [int(p.name.split("_")[1]) for p in self.dir.glob("epoch_*") if p.is_dir()]
-        return max(epochs) if epochs else None
+        epochs = self._epoch_dirs()
+        return epochs[-1][0] if epochs else None
 
     def restore(self, name: str, target: TrainState) -> TrainState:
         """Restore checkpoint ``name`` ('best', 'final', 'epoch_N') into the

@@ -194,9 +194,14 @@ class Trainer:
                 # completed-epoch checkpoint covers (the epoch save happens
                 # AFTER the last step save of that epoch)
                 if step_ckpt is not None and step_ckpt[1] > (last_epoch if last_epoch is not None else -1):
-                    state, start_epoch, saved_step = step_ckpt
-                    skip_batches = max(0, min(saved_step - start_epoch * steps_per_epoch,
-                                              steps_per_epoch))
+                    state, start_epoch, saved_step, saved_batch = step_ckpt
+                    if saved_batch is not None:
+                        # exact count recorded at save time — correct even
+                        # when streaming epochs don't match steps_per_epoch
+                        skip_batches = saved_batch
+                    else:  # legacy step.json without "batch": derive
+                        skip_batches = max(0, min(saved_step - start_epoch * steps_per_epoch,
+                                                  steps_per_epoch))
                     self.log(
                         f"resumed mid-epoch {start_epoch} at step {saved_step} "
                         f"(skipping {skip_batches} already-trained batches)"
@@ -223,6 +228,10 @@ class Trainer:
             losses: list[float] = []
             stack: list[np.ndarray] = []
             seen = 0
+            # batches consumed from this epoch's iterator (skipped + trained)
+            # — recorded in mid-epoch checkpoints so resume is exact even
+            # when an epoch's true batch count differs from steps_per_epoch
+            batches_done = skip_batches
             batch_iter = (
                 batch_source(epoch)
                 if batch_source is not None
@@ -250,9 +259,10 @@ class Trainer:
                     else:
                         seen += n_inner * b
                     losses.append(metrics["loss"])
+                    batches_done += n_inner
                     steps_since_save += n_inner
                     if save_every and steps_since_save >= save_every:
-                        ckpt.save_step(state, epoch)
+                        ckpt.save_step(state, epoch, batches_done)
                         steps_since_save = 0
             for idx in stack:  # remainder: single steps
                 state, metrics = single_step(
@@ -260,9 +270,10 @@ class Trainer:
                 )
                 seen += b
                 losses.append(metrics["loss"][None] if metrics["loss"].ndim == 0 else metrics["loss"])
+                batches_done += 1
                 steps_since_save += 1
                 if save_every and steps_since_save >= save_every:
-                    ckpt.save_step(state, epoch)
+                    ckpt.save_step(state, epoch, batches_done)
                     steps_since_save = 0
             if losses:  # can be empty when a resume skipped the whole epoch
                 epoch_losses = np.concatenate([np.atleast_1d(np.asarray(l)) for l in losses])

@@ -71,8 +71,8 @@ def test_preempted_run_resumes_bit_identical(dataset, tmp_path, monkeypatch):
     orig_save = CheckpointManager.save_step
     calls = {"n": 0}
 
-    def dying_save(self, state, epoch):
-        orig_save(self, state, epoch)
+    def dying_save(self, state, epoch, batch_in_epoch):
+        orig_save(self, state, epoch, batch_in_epoch)
         calls["n"] += 1
         if calls["n"] == 2:
             raise KeyboardInterrupt("simulated preemption")
@@ -86,7 +86,12 @@ def test_preempted_run_resumes_bit_identical(dataset, tmp_path, monkeypatch):
 
     meta = json.loads((d / "step.json").read_text())
     assert meta["step"] == 4 and meta["epoch"] == 0
+    assert meta["batch"] == 4  # exact batches-consumed count, not derived
     assert (d / meta["dir"]).exists()
+
+    # a preemption DURING an epoch save leaves an orbax tmp dir behind;
+    # epoch parsing must skip it instead of crashing resume with ValueError
+    (d / "epoch_1.orbax-checkpoint-tmp").mkdir()
 
     # --- resume completes the run ------------------------------------------
     logs: list[str] = []

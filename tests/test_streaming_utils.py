@@ -57,12 +57,20 @@ def test_stream_host_sharding(tiny_dataset, pair_file):
         )
         for i in range(2)
     ]
+    # LOCKSTEP invariant: every host sees the same number of chunks and the
+    # same rows-per-chunk (strided slice of the identically-joined chunk,
+    # trimmed to a multiple of host_count) — so every host yields the same
+    # number of batches and SPMD collectives can't desync on epoch length.
+    assert len(host_chunks[0]) == len(host_chunks[1])
+    for c0, c1 in zip(host_chunks[0], host_chunks[1]):
+        assert len(c0) == len(c1)
     total = sum(len(c) for chunks in host_chunks for c in chunks)
-    assert total == len(pairs)  # chunks partition across hosts
-    # round-robin by chunk: host 0 gets even chunks, host 1 odd chunks
-    np.testing.assert_array_equal(host_chunks[0][0], pairs[0:500])
-    np.testing.assert_array_equal(host_chunks[1][0], pairs[500:1000])
-    np.testing.assert_array_equal(host_chunks[0][1], pairs[1000:1500])
+    n_chunks = len(host_chunks[0])
+    # the trim drops at most (host_count - 1) rows per chunk
+    assert len(pairs) - n_chunks <= total <= len(pairs)
+    # per-chunk strided split: host 0 takes rows 0,2,4,... of the chunk
+    np.testing.assert_array_equal(host_chunks[0][0], pairs[0:500][0::2][:250])
+    np.testing.assert_array_equal(host_chunks[1][0], pairs[0:500][1::2][:250])
 
 
 def test_streaming_index_batches_cover_all(tiny_dataset, pair_file):
