@@ -3,12 +3,15 @@
 `bench.py` stays the single headline line the driver records; this suite
 adds the other BASELINE.json configs as evidence:
 
-  train_ref_shape   — headline config (delegates to the same path)
-  train_scaled      — BASELINE config 3: 10M-row embedding space (dim 64),
-                      batch 8192, rowwise Adagrad, scatter grads
-  serving_exact     — brute-force MIPS QPS over a 100k corpus, k=100
-  serving_int8      — int8 MIPS QPS + recall vs exact
-  corpus_eval       — corpus recall@k evaluation wall time
+  train_hostfed                — headline model, host-fed index stream
+  train_scaled                 — BASELINE config 3: 10M-row tables (dim 64),
+                                 batch 8192, dense-path rowwise Adagrad
+  train_scaled_sparse          — same, O(batch) sparse-table updates
+  train_scaled_sparse_deferred — same, one batched update per scan window
+  serving_exact                — brute-force MIPS QPS over 100k corpus, k=100
+  serving_int8                 — int8 MIPS QPS + recall vs exact
+  serving_int8_10m             — BASELINE config 5: 10M-row int8 corpus
+  corpus_eval                  — corpus recall@k evaluation wall time
 
 Usage: python bench_suite.py [names...]   (default: all)
 """
@@ -374,5 +377,8 @@ BENCHES = {
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(BENCHES)
+    unknown = [n for n in names if n not in BENCHES]
+    if unknown:
+        raise SystemExit(f"unknown bench(es) {unknown}; choose from {list(BENCHES)}")
     for name in names:
         BENCHES[name]()

@@ -149,7 +149,12 @@ class NumericPreprocessor:
                 raise KeyError(f"column {col!r} missing at transform time")
             raw = np.asarray(table[col], dtype=np.float64)
             cfg = self.config_for(col)
-            null = ~np.isfinite(raw)
+            # null = NaN/None only (reference pandas semantics,
+            # numeric_preprocess.py:116-195): ±inf is DATA — it flows into
+            # the clip like any outlier rather than being fill-replaced
+            # with a null flag. (Fit statistics still exclude non-finite
+            # values so an inf cannot poison a mean/percentile.)
+            null = np.isnan(raw)
             x = np.where(null, st.fill_value, raw)
             if st.clip_lo is not None or st.clip_hi is not None:
                 if cfg.clip_to_null:

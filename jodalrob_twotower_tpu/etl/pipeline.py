@@ -61,8 +61,12 @@ def run_pipeline(
     chunk-by-chunk to parquet. Returns the manifest dict."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    chunks = list(chunks)
     if fit_table is None:
+        # fitting needs every row at once, so only THIS branch may
+        # materialize the stream; with a precomputed fit_table the chunks
+        # stay a lazy iterator (tables larger than host RAM are the whole
+        # point of the chunked API)
+        chunks = list(chunks)
         fit_table = {
             col: np.concatenate([np.asarray(c[col], dtype=object) for c in chunks])
             for col in (*pk_columns, *numeric_columns, *categorical_columns, *(text_columns or []))
@@ -154,11 +158,16 @@ def update_text_embeddings(
         emb_col = tbl.column(column).to_numpy(zero_copy_only=False)
         block = np.stack(emb_col).astype(np.float32)
         new_texts = [texts_by_pk[keys[i]] for i in hit]
-        new_emb = txt.transform({column: np.asarray(new_texts, object)}, [column])[column]
-        block[hit] = new_emb
+        new_out = txt.transform({column: np.asarray(new_texts, object)}, [column])
+        block[hit] = new_out[column]
         dim = block.shape[1]
         new_arr = pa.array(list(block), type=pa.list_(pa.float32(), dim))
         tbl = tbl.set_column(tbl.column_names.index(column), column, new_arr)
+        flag_col = f"{column}_is_null"
+        if flag_col in new_out and flag_col in tbl.column_names:
+            flags = tbl.column(flag_col).to_numpy(zero_copy_only=False).astype(np.float32)
+            flags[hit] = new_out[flag_col]
+            tbl = tbl.set_column(tbl.column_names.index(flag_col), flag_col, pa.array(flags))
         pq.write_table(tbl, str(path))
         updated += len(hit)
     return updated

@@ -65,15 +65,31 @@ def categorical_configs_from_reference(src) -> dict[str, CategoricalColumnConfig
 
 
 def text_configs_from_reference(src) -> tuple[dict[str, TextColumnConfig], str | None]:
-    """Returns (configs for used columns, embedding model name if given)."""
+    """Returns (configs for used columns, embedding model name if given).
+
+    The embedder is GLOBAL (one HF model per run, reference
+    text_preprocess.py:39-42), so per-column embedding_model values must
+    agree — conflicting models would silently embed columns with the wrong
+    one (last-wins), so that's an error. add_flag and null_strategy pass
+    through to TextColumnConfig (etl/text.py implements both; non-'empty'
+    null strategies error at transform time rather than being dropped)."""
     out: dict[str, TextColumnConfig] = {}
     model = None
     for col, c in _load(src).items():
         if not c.get("use", True):
             continue
-        model = c.get("embedding_model", model)
+        m = c.get("embedding_model")
+        if m is not None:
+            if model is not None and m != model:
+                raise ValueError(
+                    f"conflicting embedding_model values ({model!r} vs {m!r} for "
+                    f"{col!r}): the embedder is global — split the run per model"
+                )
+            model = m
         out[col] = TextColumnConfig(
             max_length=int(c.get("max_length", 32)),
             normalize=bool(c.get("normalize", True)),
+            add_flag=bool(c.get("add_flag", False)),
+            null_strategy=str(c.get("null_strategy", "empty")),
         )
     return out, model

@@ -175,12 +175,16 @@ def build_vector_update(
 def connection_url(env: Mapping[str, str] | None = None) -> str:
     """postgres URL from the reference's env-var surface
     (database_connector.py:14-44): DB_HOST/DB_PORT/DB_NAME/DB_USER/DB_PASSWORD."""
+    from urllib.parse import quote
+
     env = env if env is not None else os.environ
     host = env.get("DB_HOST", "localhost")
     port = env.get("DB_PORT", "5432")
     name = env.get("DB_NAME", "postgres")
-    user = env.get("DB_USER", "postgres")
-    password = env.get("DB_PASSWORD", "")
+    # credentials must be percent-encoded: a password containing @ : / # %
+    # would otherwise be parsed as URL structure (the '@' splits the host)
+    user = quote(env.get("DB_USER", "postgres"), safe="")
+    password = quote(env.get("DB_PASSWORD", ""), safe="")
     auth = f"{user}:{password}@" if password else f"{user}@"
     return f"postgresql+psycopg://{auth}{host}:{port}/{name}"
 

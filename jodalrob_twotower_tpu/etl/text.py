@@ -29,6 +29,12 @@ class TextColumnConfig:
     strip: bool = True
     batch_size: int = 64
     normalize: bool = True
+    # reference parity (meta/notice_text_config.json): emit a {col}_is_null
+    # float column alongside the embeddings
+    add_flag: bool = False
+    # how nulls embed; "empty" (the reference's shipped value) embeds the
+    # empty string. Other strategies are not implemented.
+    null_strategy: str = "empty"
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "TextColumnConfig":
@@ -144,10 +150,25 @@ class TextPreprocessor:
     def transform(
         self, table: Mapping[str, np.ndarray], columns: list[str] | None = None
     ) -> dict[str, np.ndarray]:
-        """{col: float32 [N, embed_dim]} for each text column."""
+        """{col: float32 [N, embed_dim]} for each text column
+        (+ {col}_is_null float flags when the config sets add_flag)."""
         columns = list(columns if columns is not None else self.configs.keys())
         out = {}
         for col in columns:
-            texts = ["" if v is None else str(v) for v in np.asarray(table[col], dtype=object)]
-            out[col] = self.embedder.encode(texts, self.config_for(col))
+            cfg = self.config_for(col)
+            if cfg.null_strategy != "empty":
+                raise ValueError(
+                    f"null_strategy {cfg.null_strategy!r} for {col!r} is not "
+                    "implemented (only 'empty': nulls embed as the empty string)"
+                )
+            raw = np.asarray(table[col], dtype=object)
+            is_null = np.array(
+                [v is None or (isinstance(v, float) and np.isnan(v)) or str(v) == ""
+                 for v in raw],
+                dtype=np.float32,
+            )
+            texts = ["" if f else str(v) for v, f in zip(raw, is_null)]
+            if cfg.add_flag:
+                out[f"{col}_is_null"] = is_null
+            out[col] = self.embedder.encode(texts, cfg)
         return out

@@ -47,13 +47,16 @@ from jodalrob_twotower_tpu.etl.text import HashTextEmbedder, HFTextEmbedder
 from jodalrob_twotower_tpu.schema import classify_columns, schema_from_metadata_csv
 
 
-def _make_embedder(kind: str, embed_dim: int):
+def _make_embedder(kind: str, embed_dim: int, model_name: str | None = None):
     """auto = try HF, fall back to hash (TextPreprocessor default); the
-    explicit kinds skip the HF download retries, which cost ~40s offline."""
+    explicit kinds skip the HF download retries, which cost ~40s offline.
+    ``model_name`` (from the reference text config's embedding_model) must
+    reach the HF embedder — silently embedding with the default model would
+    produce a whole store of wrong-space vectors."""
     if kind == "hash":
         return HashTextEmbedder(embed_dim)
     if kind == "hf":
-        return HFTextEmbedder()
+        return HFTextEmbedder(model_name)
     return None
 
 
@@ -125,7 +128,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         if args.categorical_config
         else None
     )
-    text_configs, _model = (
+    text_configs, text_model = (
         text_configs_from_reference(args.text_config) if args.text_config else ({}, None)
     )
     text_columns = [c for c in cls["text"] if c in columns]
@@ -144,7 +147,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         categorical_configs=categorical_configs,
         text_configs=text_configs or None,
         fit_table=columns,
-        text_embedder=_make_embedder(args.text_embedder, args.text_embed_dim),
+        text_embedder=_make_embedder(args.text_embedder, args.text_embed_dim, text_model),
     )
     print(json.dumps({k: manifest[k] for k in ("table", "rows", "chunks")}, indent=2))
     return 0
@@ -154,12 +157,19 @@ def cmd_update_text(args: argparse.Namespace) -> int:
     texts_by_pk = json.loads(Path(args.texts).read_text(encoding="utf-8"))
     if not isinstance(texts_by_pk, dict):
         raise SystemExit("--texts must be a JSON object of {pk: text}")
+    # the patched rows must be embedded with the SAME config (max_length,
+    # normalize, model) the store was built with, or they land in a
+    # different embedding space than the untouched rows
+    text_configs, text_model = (
+        text_configs_from_reference(args.text_config) if args.text_config else ({}, None)
+    )
     n = update_text_embeddings(
         args.out_dir,
         args.table,
         args.column,
         texts_by_pk,
-        embedder=_make_embedder(args.text_embedder, args.text_embed_dim),
+        embedder=_make_embedder(args.text_embedder, args.text_embed_dim, text_model),
+        text_config=text_configs.get(args.column),
     )
     print(f"updated {n} rows of {args.table}.{args.column}")
     return 0
@@ -203,6 +213,11 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--table", required=True)
     u.add_argument("--column", required=True)
     u.add_argument("--texts", required=True, help="JSON file of {pk: new_text}")
+    u.add_argument(
+        "--text-config", default=None,
+        help="reference-format JSON the store was built with (keeps patched "
+        "rows in the same embedding space)",
+    )
     u.set_defaults(fn=cmd_update_text)
 
     for cmd in (r, u):

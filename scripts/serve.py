@@ -95,6 +95,22 @@ def main(argv=None) -> int:
     state = FrozenState(**restored)
 
     prebuilt = load_index(args.load_index) if args.load_index else None
+    if prebuilt is not None:
+        # a loaded index keeps its saved settings; accepting these flags
+        # alongside --load-index would silently do nothing
+        ignored = [
+            name for name, val, default in (
+                ("--index", args.index, "int8"),  # parse_args defaults
+                ("--corpus-chunk", args.corpus_chunk, None),
+                ("--approx-recall", args.approx_recall, None),
+            ) if val != default
+        ]
+        if ignored:
+            raise SystemExit(
+                f"{', '.join(ignored)} cannot be combined with --load-index: a "
+                "persisted index keeps the settings it was built with — rebuild "
+                "without --load-index to change them"
+            )
     svc = RetrievalService(
         model, cfg, state, company_store,
         index_kind=args.index,

@@ -84,15 +84,18 @@ def cmd_inspect(args: argparse.Namespace) -> int:
 
 
 def cmd_search(args: argparse.Namespace) -> int:
-    value: object = args.value
-    for cast in (int, float):
-        try:
-            value = cast(args.value)
-            break
-        except ValueError:
-            continue
+    # --bytes wins over numeric casting: ids like '1234' are routinely
+    # STORED as bytes features, and int(1234) never equals b'1234'
+    if args.bytes:
+        value: object = args.value.encode()
     else:
-        value = args.value.encode() if args.bytes else args.value
+        value = args.value
+        for cast in (int, float):
+            try:
+                value = cast(args.value)
+                break
+            except ValueError:
+                continue
     hits = search_records(args.path, args.key, value, max_results=args.limit)
     print(json.dumps(_jsonable(hits), indent=2))
     return 0

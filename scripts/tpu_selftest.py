@@ -1,0 +1,172 @@
+"""On-TPU kernel self-test: diff every Pallas kernel against its XLA
+reference ON THE REAL CHIP.
+
+The hermetic pytest suite runs the kernels only in Pallas interpret mode on
+CPU (tests/conftest.py pins jax to cpu); Mosaic lowering, VMEM budgeting,
+and bf16 MXU numerics are only exercised on hardware. This script is the
+fast regression check for that gap — run it after touching anything under
+ops/ (CLAUDE.md verify probes: "compare against the XLA path on TPU, not
+just interpret").
+
+Prints one JSON line per check and exits nonzero on any failure:
+  {"check": "...", "pass": true, "max_rel_err": ..., ...}
+
+Tolerances are bf16-aware: the kernels take bf16 inputs with f32
+accumulation (ops/fused_logits.py docstring), so forward stats match XLA's
+bf16-effective matmuls tightly while backward contractions carry ~2e-4
+relative error vs exact-f32 math.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = False
+
+
+def emit(check: str, ok: bool, **fields) -> None:
+    global FAILED
+    FAILED |= not ok
+    print(json.dumps({"check": check, "pass": bool(ok), **fields}), flush=True)
+
+
+def rel_err(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = np.maximum(np.abs(b), 1e-6)
+    return float(np.max(np.abs(a - b) / denom))
+
+
+def _embeddings(b: int, d: int, key) -> tuple[jax.Array, jax.Array]:
+    """L2-normalized tower-output-like embeddings (the kernels' real input
+    distribution — raw normals would inflate logsumexp ranges)."""
+    kn, kc = jax.random.split(key)
+    n = jax.random.normal(kn, (b, d), jnp.float32)
+    c = jax.random.normal(kc, (b, d), jnp.float32)
+    n = n / jnp.linalg.norm(n, axis=1, keepdims=True)
+    c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+    return n, c
+
+
+def check_fused_stats(b: int = 8192, d: int = 128) -> None:
+    from jodalrob_twotower_tpu.ops.fused_logits import fused_stats
+
+    n, c = _embeddings(b, d, jax.random.PRNGKey(0))
+    tau = 0.3
+    got = jax.device_get(fused_stats(n, c, temperature=tau))
+    want = jax.device_get(fused_stats(n, c, temperature=tau, force_xla=True))
+    errs = {f: rel_err(getattr(got, f), getattr(want, f))
+            for f in ("row_lse", "row_sum", "diag", "col_lse", "col_sum")}
+    rank_mismatch = int(np.sum(got.rank != want.rank))
+    # ranks can differ where two scores tie at bf16 precision; allow a whisker
+    ok = max(errs.values()) < 5e-3 and rank_mismatch <= b * 0.001
+    emit("fused_stats_vs_xla", ok, max_rel_err=max(errs.values()),
+         rank_mismatches=rank_mismatch, b=b, d=d)
+
+
+def check_fused_ce_grads(b: int = 8192, d: int = 128, eps: float = 0.0) -> None:
+    from jodalrob_twotower_tpu.ops.fused_logits import fused_bidirectional_ce
+    from jodalrob_twotower_tpu.train.loss import bidirectional_ce_loss
+
+    n, c = _embeddings(b, d, jax.random.PRNGKey(1))
+    tau = 0.3
+
+    def fused(n, c):
+        return fused_bidirectional_ce(n, c, tau, eps)
+
+    def xla(n, c):
+        return bidirectional_ce_loss(n, c, temperature=tau, label_smoothing=eps)[0]
+
+    (lf, (gn_f, gc_f)) = jax.value_and_grad(fused, argnums=(0, 1))(n, c)
+    (lx, (gn_x, gc_x)) = jax.value_and_grad(xla, argnums=(0, 1))(n, c)
+    loss_err = rel_err(jax.device_get(lf), jax.device_get(lx))
+    g_err = max(rel_err(jax.device_get(gn_f), jax.device_get(gn_x)),
+                rel_err(jax.device_get(gc_f), jax.device_get(gc_x)))
+    # grads: bf16 residual contraction => ~2e-4 typical, 5e-2 max elementwise
+    # on near-zero entries; compare on norms too
+    gn_norm = float(jnp.linalg.norm(gn_f - gn_x) / jnp.linalg.norm(gn_x))
+    ok = loss_err < 1e-3 and gn_norm < 1e-2
+    emit(f"fused_ce_grads_vs_xla_eps{eps}", ok, loss_rel_err=loss_err,
+         grad_norm_rel_err=gn_norm, grad_max_rel_err=g_err, b=b, d=d)
+
+
+def check_dense_table_grad(b: int = 8192, k: int = 32) -> None:
+    from jodalrob_twotower_tpu.models.embedding import table_layout, tile_feature_map
+    from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_grad
+
+    vocabs = tuple([1000] * k)
+    offsets, total = table_layout(vocabs)
+    key = jax.random.PRNGKey(2)
+    ids = jax.random.randint(key, (b, k), 0, 1000) + jnp.asarray(offsets)[None, :]
+    g = jax.random.normal(jax.random.fold_in(key, 1), (b, k, 32), jnp.float32)
+    got = dense_table_grad(ids, g, total_rows=total,
+                           tile_feature=tuple(tile_feature_map(vocabs).tolist()))
+    # XLA scatter reference
+    flat_ids = ids.reshape(-1)
+    want = jnp.zeros((total, 32), jnp.float32).at[flat_ids].add(g.reshape(-1, 32))
+    err = float(jnp.linalg.norm(got - want) / jnp.maximum(jnp.linalg.norm(want), 1e-9))
+    ok = err < 2e-2  # bf16 one-hot matmul vs f32 scatter
+    emit("dense_table_grad_vs_scatter", ok, norm_rel_err=err, b=b, k=k, rows=int(total))
+
+
+def check_pallas_gather(n_rows: int = 100_000, d: int = 128, b: int = 8192) -> None:
+    from jodalrob_twotower_tpu.ops.embedding_lookup import (
+        _pallas_gather_flat,
+        embedding_lookup_xla,
+    )
+
+    key = jax.random.PRNGKey(3)
+    table = jax.random.normal(key, (n_rows, d), jnp.float32)
+    rows = jax.random.randint(jax.random.fold_in(key, 1), (b,), 0, n_rows)
+    got = jax.device_get(_pallas_gather_flat(table, rows))
+    want = jax.device_get(jnp.take(table, rows, axis=0))
+    ok = bool(np.array_equal(got, want))
+    emit("pallas_gather_vs_take", ok, exact=ok, rows=b)
+
+
+def check_sampled_step_determinism() -> None:
+    """Two identical sampled dispatches from copied states agree bitwise."""
+    from jodalrob_twotower_tpu.config import LossConfig, ModelConfig, OptimizerConfig, TrainConfig
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.train.train_step import (
+        create_train_state,
+        device_store,
+        make_sampled_train_steps,
+    )
+
+    cfg = TrainConfig(model=ModelConfig(), loss=LossConfig(use_fused_logits=True),
+                      optimizer=OptimizerConfig())
+    ds = make_synthetic_dataset(n_notices=5000, n_companies=5000, n_pairs=20000, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:1024])
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
+    steps = make_sampled_train_steps(model, cfg, tx, 4, 1024, donate=False)
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    pairs = jax.device_put(ds.pairs.astype(np.int32))
+    _, m1 = steps(state, jax.random.PRNGKey(7), pairs, n_store, c_store)
+    _, m2 = steps(state, jax.random.PRNGKey(7), pairs, n_store, c_store)
+    l1, l2 = jax.device_get(m1["loss"]), jax.device_get(m2["loss"])
+    ok = bool(np.array_equal(l1, l2)) and bool(np.all(np.isfinite(l1)))
+    emit("sampled_step_deterministic", ok, losses=[round(float(x), 6) for x in l1])
+
+
+def main() -> None:
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    check_fused_stats()
+    check_fused_ce_grads(eps=0.0)    # lean kernel path
+    check_fused_ce_grads(eps=0.1)    # full stats path + smoothing
+    check_dense_table_grad()
+    check_pallas_gather()
+    check_sampled_step_determinism()
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()

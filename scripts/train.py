@@ -111,7 +111,14 @@ def main(argv=None) -> int:
 
         from jodalrob_twotower_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(jax.devices()[: args.mesh_devices])
+        avail = jax.devices()
+        if len(avail) < args.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices} but only {len(avail)} device(s) "
+                f"available ({avail[0].platform}) — a silently smaller mesh would "
+                "train unsharded while claiming otherwise"
+            )
+        mesh = make_mesh(avail[: args.mesh_devices])
         print(f"mesh: {args.mesh_devices} devices (tables row-sharded)")
     trainer = Trainer(cfg, schema, notice_store, company_store, mesh=mesh)
     if args.stream and args.data_dir:
