@@ -47,7 +47,11 @@ def main() -> None:
 
     batch_size = 8192
     cfg = TrainConfig(
-        model=ModelConfig(),  # reference dims: [512,256]->128, cat dim 32
+        # reference dims: [512,256]->128, cat dim 32. Dropout masks come
+        # from the TPU hardware generator (rbg) instead of threefry VPU
+        # rounds — same dropout semantics, measured 3.05 -> 2.82 ms/step
+        # (scripts/profile_step.py full/rbg_dropout/no_dropout).
+        model=ModelConfig(dropout_rng_impl="rbg"),
         loss=LossConfig(temperature=1.0, use_fused_logits=True),
         optimizer=OptimizerConfig(),
     )

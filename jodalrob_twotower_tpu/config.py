@@ -28,6 +28,13 @@ class ModelConfig:
     tower_hidden_dims: tuple[int, ...] = (512, 256)
     final_embedding_dim: int = 128
     dropout_rate: float = 0.1
+    # PRNG implementation for the per-step dropout mask stream: "threefry"
+    # (JAX default, counter-based, bit-stable everywhere) or "rbg" (XLA's
+    # RngBitGenerator — the TPU's fast hardware generator). Threefry mask
+    # generation is VPU-heavy at large batch; rbg cuts it. Mask bits differ
+    # between the two, but within one impl runs remain bit-reproducible:
+    # the key is still derived by fold_in(state.rng, step).
+    dropout_rng_impl: str = "threefry"
     use_batch_norm: bool = True
     # Compute dtype for tower matmuls; params stay float32.
     compute_dtype: str = "bfloat16"

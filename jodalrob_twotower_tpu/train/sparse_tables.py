@@ -41,6 +41,7 @@ import optax
 from jodalrob_twotower_tpu.config import TrainConfig
 from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
 from jodalrob_twotower_tpu.models.embedding import absolute_rows, table_layout
+from jodalrob_twotower_tpu.train.train_step import dropout_key
 from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
 from jodalrob_twotower_tpu.train.loss import compute_loss
 from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
@@ -201,7 +202,7 @@ def make_sparse_train_step(
         emb_n = jnp.take(state.notice_table.table, rows_n, axis=0).reshape(b, -1)
         emb_c = jnp.take(state.company_table.table, rows_c, axis=0).reshape(b, -1)
 
-        dropout_rng = jax.random.fold_in(state.rng, state.step)
+        dropout_rng = dropout_key(cfg.model, jax.random.fold_in(state.rng, state.step))
 
         def loss_fn(dense_params, emb_n_in, emb_c_in):
             # embeddings subtrees are absent from dense_params: with

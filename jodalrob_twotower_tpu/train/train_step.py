@@ -62,6 +62,23 @@ def create_train_state(
     return state, tx
 
 
+def dropout_key(model_cfg, rng):
+    """Per-step dropout key in the configured PRNG impl.
+
+    With ``dropout_rng_impl="rbg"`` the threefry key's raw words are wrapped
+    into an XLA RngBitGenerator key, so flax's Dropout draws its mask from
+    the TPU's hardware generator instead of computing threefry rounds on the
+    VPU (measured ~0.2 ms/step at B=8192 — BENCHMARKS.md). Derivation stays
+    a pure function of (state.rng, step), so runs remain replayable.
+    """
+    if getattr(model_cfg, "dropout_rng_impl", "threefry") != "rbg":
+        return rng
+    data = rng
+    if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(data)
+    return jax.random.wrap_key_data(jnp.concatenate([data, data]), impl="rbg")
+
+
 def _forward_loss(
     model: TwoTowerModel,
     cfg: TrainConfig,
@@ -80,7 +97,7 @@ def _forward_loss(
         variables,
         batch,
         train=train,
-        rngs={"dropout": dropout_rng} if train else None,
+        rngs={"dropout": dropout_key(cfg.model, dropout_rng)} if train else None,
         mutable=mutable,
     )
     if mutable:

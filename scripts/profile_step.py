@@ -192,12 +192,14 @@ VARIANTS = [
     "gather_only",     # sample + batch gather only
     "sample_only",     # randint sampling only
     "no_dropout",      # full, dropout_rate=0
+    "rbg_dropout",     # full, dropout masks from XLA RngBitGenerator
     "no_bn",           # full, use_batch_norm=False
     "xla_loss",        # full, use_fused_logits=False
     "scatter_grad",    # full, embedding_grad=scatter
 ]
 
 _MODEL_TOGGLES = {"no_dropout": {"dropout_rate": 0.0},
+                  "rbg_dropout": {"dropout_rng_impl": "rbg"},
                   "no_bn": {"use_batch_norm": False},
                   "scatter_grad": {"embedding_grad": "scatter"}}
 _LOSS_TOGGLES = {"xla_loss": {"use_fused_logits": False}}

@@ -228,3 +228,39 @@ def test_pipeline_shapes_and_coverage(tiny_dataset):
     )
     assert all_rows.shape == (1000, 2)
     assert set(map(tuple, all_rows)) == set(map(tuple, ds.pairs[:1000]))
+
+
+def test_rbg_dropout_trains_and_is_deterministic(tiny_dataset):
+    """dropout_rng_impl="rbg" draws masks from XLA's RngBitGenerator (the
+    fast TPU hardware generator). Contract: the step runs, dropout actually
+    drops (train loss differs from the no-dropout forward), and the run is
+    replayable (same state+batch -> bit-identical result)."""
+    import dataclasses
+
+    ds = tiny_dataset
+    cfg = _CFG.replace(
+        model=dataclasses.replace(_CFG.model, dropout_rate=0.3, dropout_rng_impl="rbg")
+    )
+    model = TwoTowerModel(ds.schema, cfg.model)
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, 100)
+    step = make_train_step(model, cfg, tx, donate=False)
+
+    s1, m1 = step(state, batch)
+    s1b, m1b = step(state, batch)  # replay: identical
+    assert float(m1["loss"]) == float(m1b["loss"])
+    assert np.isfinite(float(m1["loss"]))
+
+    # two consecutive steps use different fold_in(step) keys -> masks differ;
+    # loss at step 2 computed from updated params must also be finite
+    s2, m2 = step(s1, batch)
+    assert np.isfinite(float(m2["loss"]))
+
+    # rbg masks differ from threefry masks for the same key/config
+    cfg_tf = _CFG.replace(
+        model=dataclasses.replace(_CFG.model, dropout_rate=0.3, dropout_rng_impl="threefry")
+    )
+    model_tf = TwoTowerModel(ds.schema, cfg_tf.model)
+    step_tf = make_train_step(model_tf, cfg_tf, tx, donate=False)
+    _, m_tf = step_tf(state, batch)
+    assert float(m_tf["loss"]) != float(m1["loss"])
