@@ -251,3 +251,26 @@ class DatabaseConnector:
             if writer is not None:
                 writer.close()
         return total
+
+    def export_table_to_parquet_chunks(
+        self,
+        table: str,
+        columns: Sequence[str],
+        out_dir: str | Path,
+        *,
+        chunk_rows: int = 50_000,
+        rows_per_file: int | None = None,
+        where: str | None = None,
+    ) -> dict:
+        """table -> ``chunk_%04d.parquet`` dataset + metadata.json manifest
+        (reference convert_to_parquet.py:140-180 multi-file mode). Returns
+        the manifest; reload with etl.parquet_chunks.load_parquet_chunks."""
+        from jodalrob_twotower_tpu.etl.parquet_chunks import write_parquet_chunks
+
+        sql = build_select(table, columns, where=where)
+        return write_parquet_chunks(
+            self.iter_chunks(sql, chunk_rows=chunk_rows),
+            out_dir,
+            table_name=table,
+            rows_per_file=rows_per_file,
+        )
