@@ -130,6 +130,99 @@ def dense_table_grad(
     )(tf, tr, rows_t, g_t)
 
 
+def _grad_kernel_t(tile_feature_ref, tile_row_ref, rows_ref, g_ref, out_ref):
+    """Transposed-output variant: one program = one 128-row tile, written as
+    a [D, TILE_ROWS] column block of dTᵀ.
+
+    Motivation: the standard kernel's matmul is [128, C] @ [C, D] — with
+    D=32 the MXU drives only 32 of its 128 result lanes, which profiling
+    shows is the kernel's floor (BENCHMARKS.md per-op table). Swapping the
+    output orientation makes the matmul [D, C] @ᵀ [128, C] → [D, 128]: the
+    128-row tile sits on the fully-used N axis and the small D becomes M,
+    so ~4x fewer rows stream through the systolic array. The one-hot tile
+    is built exactly as before (no in-kernel relayouts); the RHS-side
+    contraction on the lane dim is native to the MXU's weight feed.
+    """
+    t = pl.program_id(0)
+    row0 = tile_row_ref[t]
+    feature = tile_feature_ref[t]
+    b = rows_ref.shape[1]
+    d = g_ref.shape[1]
+    tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
+
+    n_chunks = b // _B_CHUNK
+
+    def body(i, acc):
+        lo = i * _B_CHUNK
+        ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, _B_CHUNK)]  # [1, C]
+        onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
+        g = g_ref[0, :, pl.ds(lo, _B_CHUNK)].astype(jnp.bfloat16)  # [D, C]
+        return acc + jax.lax.dot_general(
+            g,
+            onehot_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((d, TILE_ROWS), jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("total_rows", "tile_feature", "interpret"))
+def dense_table_grad_t(
+    rows: jax.Array,
+    g: jax.Array,
+    *,
+    total_rows: int,
+    tile_feature: tuple[int, ...],
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-layout table gradient: returns dTᵀ with shape
+    [D, total_rows] (same math as :func:`dense_table_grad`; transpose
+    outside, or feed an optimizer that accepts the D-major layout)."""
+    b, k = rows.shape
+    d = g.shape[2]
+    assert total_rows % TILE_ROWS == 0
+    n_tiles = total_rows // TILE_ROWS
+    assert len(tile_feature) == n_tiles
+
+    pad = (-b) % _B_CHUNK
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad, k), -1, jnp.int32)])
+        g = jnp.concatenate([g, jnp.zeros((pad, k, d), g.dtype)])
+    b_pad = rows.shape[0]
+
+    # feature-major ids as in the standard kernel; grads relayout to
+    # [K, D, B] so each program's block is the feature's gᵀ (bf16 first —
+    # halves the relayout copy, the kernel contracts in bf16 anyway)
+    rows_t = rows.astype(jnp.int32).T
+    g_t = jnp.transpose(g.astype(jnp.bfloat16), (1, 2, 0))
+
+    tf = jnp.asarray(np.asarray(tile_feature, np.int32))
+    tr = jnp.asarray(np.arange(n_tiles, dtype=np.int32) * TILE_ROWS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, b_pad), lambda t, tf, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, d, b_pad), lambda t, tf, tr: (tf[t], 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (d, TILE_ROWS), lambda t, tf, tr: (0, t), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _grad_kernel_t,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, total_rows), jnp.float32),
+        interpret=interpret,
+    )(tf, tr, rows_t, g_t)
+
+
 # ---------------------------------------------------------------------------
 # differentiable lookup with the dense-grad backward
 # ---------------------------------------------------------------------------
@@ -147,9 +240,13 @@ def make_dense_grad_lookup(total_rows: int, tile_feature: tuple[int, ...], *, in
         return jnp.take(table, rows, axis=0), rows
 
     def bwd(rows, ct):
-        dtable = dense_table_grad(
+        # transposed-output kernel + XLA transpose back: measured 6.6x the
+        # standard kernel isolated (2.32 -> 0.35 ms at B=8192, K=32, 33k
+        # rows) because the 128-row tile rides the MXU's N axis instead of
+        # leaving 96 of 128 result lanes idle at D=32 (BENCHMARKS.md)
+        dtable = dense_table_grad_t(
             rows, ct, total_rows=total_rows, tile_feature=tile_feature, interpret=interpret
-        )
+        ).T
         # take() preserves dtype, so the cotangent dtype is the table's
         return dtable.astype(ct.dtype), None
 

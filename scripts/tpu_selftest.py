@@ -113,6 +113,15 @@ def check_dense_table_grad(b: int = 8192, k: int = 32) -> None:
     ok = err < 2e-2  # bf16 one-hot matmul vs f32 scatter
     emit("dense_table_grad_vs_scatter", ok, norm_rel_err=err, b=b, k=k, rows=int(total))
 
+    # transposed-output (MXU-N-major) kernel: must match the standard one
+    # bit-for-bit on hardware (same bf16 contraction, flipped orientation)
+    from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_grad_t
+
+    got_t = dense_table_grad_t(ids, g, total_rows=total,
+                               tile_feature=tuple(tile_feature_map(vocabs).tolist())).T
+    exact = bool(jnp.all(got_t == got))
+    emit("dense_table_grad_t_bitexact_vs_standard", exact, b=b, k=k, rows=int(total))
+
 
 def check_pallas_gather(n_rows: int = 100_000, d: int = 128, b: int = 8192) -> None:
     from jodalrob_twotower_tpu.ops.embedding_lookup import (

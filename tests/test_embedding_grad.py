@@ -120,3 +120,26 @@ def test_grad_mode_plumbing(tiny_dataset):
     np.testing.assert_allclose(
         np.asarray(g_dense), np.asarray(g_scatter), rtol=5e-3, atol=5e-3
     )
+
+
+@pytest.mark.parametrize("b,k,d", [(256, 4, 32), (100, 3, 16)])
+def test_transposed_grad_matches_standard(rng, b, k, d):
+    """dense_table_grad_t returns dT^T (the MXU-N-major layout); its
+    transpose must equal the standard kernel bit-for-bit (same bf16
+    contraction, different output orientation)."""
+    from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_grad_t
+
+    vocabs = tuple(rng.integers(5, 300, size=k).tolist())
+    offsets, total_rows = table_layout(vocabs)
+    tf = tuple(tile_feature_map(vocabs).tolist())
+    ids = np.stack(
+        [rng.integers(0, v, size=b) for v in vocabs], axis=1
+    ).astype(np.int32)
+    rows = jnp.asarray(ids + offsets[None, :])
+    g = jnp.asarray(rng.normal(size=(b, k, d)).astype(np.float32))
+    std = dense_table_grad(rows, g, total_rows=total_rows, tile_feature=tf, interpret=True)
+    tr = dense_table_grad_t(rows, g, total_rows=total_rows, tile_feature=tf, interpret=True)
+    assert tr.shape == (d, total_rows)
+    np.testing.assert_array_equal(np.asarray(tr).T, np.asarray(std))
+    ref = _scatter_ref(rows, g, total_rows)
+    np.testing.assert_allclose(np.asarray(tr).T, np.asarray(ref), rtol=2e-2, atol=5e-2)
