@@ -98,6 +98,13 @@ class DataConfig:
     # Number of batches prefetched onto the device.
     prefetch: int = 2
     drop_remainder: bool = True
+    # dtype of the DEVICE-RESIDENT dense feature block: "auto" stores at the
+    # model compute dtype (bf16 halves the store's HBM footprint and removes
+    # XLA's per-dispatch hoisted f32→bf16 cast of the whole store — measured
+    # 2.78→2.73 ms/step, bit-identical results since the towers cast dense
+    # inputs to compute dtype anyway); "float32" keeps the store at full
+    # precision.
+    device_store_dtype: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

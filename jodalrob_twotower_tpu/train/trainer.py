@@ -211,9 +211,11 @@ class Trainer:
                     start_epoch = last_epoch + 1
                     self.log(f"resumed from epoch {last_epoch} (step {int(state.step)})")
 
-        # device-resident stores; indices are the only per-step H2D traffic
-        n_store = device_store(self.notice_store)
-        c_store = device_store(self.company_store)
+        # device-resident stores; indices are the only per-step H2D traffic.
+        # Dense blocks live at the compute dtype (config device_store_dtype)
+        store_dt = self._device_store_dtype()
+        n_store = device_store(self.notice_store, dtype=store_dt)
+        c_store = device_store(self.company_store, dtype=store_dt)
         if put_store is not None:
             n_store, c_store = put_store(n_store), put_store(c_store)
 
@@ -379,6 +381,16 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
             **train_kwargs,
         )
+
+    def _device_store_dtype(self):
+        """Resolved dtype for the device-resident dense feature blocks
+        (DataConfig.device_store_dtype; None = keep the host f32)."""
+        mode = self.cfg.data.device_store_dtype
+        if mode == "bfloat16" or (
+            mode == "auto" and self.cfg.model.compute_dtype == "bfloat16"
+        ):
+            return jnp.bfloat16
+        return None
 
     @staticmethod
     def verify_pair_alignment(batch_idx: np.ndarray, pairs: np.ndarray) -> None:
