@@ -45,6 +45,23 @@ class ModelConfig:
     # (ops/embedding_grad.py).
     embedding_grad: str = "auto"
 
+    def __post_init__(self) -> None:
+        if self.dropout_rng_impl not in ("threefry", "rbg"):
+            raise ValueError(
+                f"dropout_rng_impl must be 'threefry' or 'rbg', got "
+                f"{self.dropout_rng_impl!r}"
+            )
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"compute_dtype must be 'bfloat16' or 'float32', got "
+                f"{self.compute_dtype!r}"
+            )
+        if self.embedding_grad not in ("auto", "dense", "scatter"):
+            raise ValueError(
+                f"embedding_grad must be 'auto', 'dense' or 'scatter', got "
+                f"{self.embedding_grad!r}"
+            )
+
     @property
     def hidden_dims(self) -> tuple[int, ...]:
         return tuple(self.tower_hidden_dims)
@@ -105,6 +122,13 @@ class DataConfig:
     # inputs to compute dtype anyway); "float32" keeps the store at full
     # precision.
     device_store_dtype: str = "auto"
+
+    def __post_init__(self) -> None:
+        if self.device_store_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(
+                f"device_store_dtype must be 'auto', 'float32' or "
+                f"'bfloat16', got {self.device_store_dtype!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

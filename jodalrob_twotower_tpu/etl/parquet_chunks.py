@@ -63,10 +63,13 @@ def write_parquet_chunks(
     """
     import pyarrow.parquet as pq
 
+    if rows_per_file is not None and rows_per_file < 1:
+        raise ValueError(f"rows_per_file must be >= 1, got {rows_per_file}")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     files: list[dict] = []
     columns: list[str] | None = None
+    schema = None  # canonical: inferred from the first chunk
     n_rows = 0
     writer = None
     rows_in_file = 0
@@ -83,6 +86,20 @@ def write_parquet_chunks(
             tbl = _to_arrow_table(chunk)
             if columns is None:
                 columns = list(chunk.keys())
+                schema = tbl.schema
+            elif tbl.schema != schema:
+                # per-chunk type inference can drift (an all-NULL chunk of a
+                # nullable column infers 'null', ints followed by floats
+                # infer int64 then double); unify on the first chunk's schema
+                # so one ParquetWriter can span chunks
+                try:
+                    tbl = tbl.cast(schema)
+                except Exception as e:
+                    raise ValueError(
+                        f"chunk schema drifted from the first chunk's and "
+                        f"cannot be cast back: {e}\nfirst: {schema}\n"
+                        f"current: {tbl.schema}"
+                    ) from e
             offset = 0
             while offset < tbl.num_rows:
                 if writer is None:

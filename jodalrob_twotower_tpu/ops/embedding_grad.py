@@ -35,56 +35,82 @@ TILE_ROWS = 128
 _B_CHUNK = 8192  # batch chunk per MXU pass; bounds VMEM for the mask tile
 
 
-def _grad_kernel(tile_feature_ref, tile_row_ref, rows_ref, g_ref, out_ref):
-    """One program = one 128-row tile of the table gradient.
 
-    tile_feature_ref: prefetched int32 [T] tile -> feature index
-    tile_row_ref:     prefetched int32 [T] tile -> first global row
-    rows_ref: [K, B] int32, FULL array in VMEM (1 MB at B=8192, K=32);
-              the tile's feature row is selected with a dynamic sublane index
-    g_ref:    [1, B, D] bf16 block (upstream grads of the tile's feature;
-              the caller casts before its feature-major transpose so the
-              relayout copy moves half the bytes)
-    out_ref:  [TILE_ROWS, D] f32 block
+def _grad_kernel(transposed: bool):
+    """Kernel factory; one program = one 128-row tile of the table gradient.
+
+    Shared args:
+      tile_feature_ref: prefetched int32 [T] tile -> feature index
+      tile_row_ref:     prefetched int32 [T] tile -> first global row
+      rows_ref: [K, B] int32, FULL array in VMEM (1 MB at B=8192, K=32);
+                the tile's feature row is selected with a dynamic sublane
+                index
+    Standard orientation (transposed=False):
+      g_ref [1, B, D] bf16 block, out_ref [TILE_ROWS, D] f32 — the matmul
+      is onehotᵀ[128, C] @ g[C, D]; with D=32 only 32 of the MXU's 128
+      result lanes are driven.
+    Transposed orientation (transposed=True):
+      g_ref [1, D, B] bf16 block, out_ref [D, TILE_ROWS] f32 column block
+      of dTᵀ — the matmul contracts g[D, C] against the SAME one-hot tile
+      on its lane dim, so the 128-row tile rides the fully-used N axis and
+      the small D streams as M: measured 6.6x isolated / ~0.3 ms/step
+      in-step (BENCHMARKS.md). Both build the one-hot identically (no
+      in-kernel relayouts) and are bit-identical up to output orientation
+      (selftest-checked on chip).
     """
-    t = pl.program_id(0)
-    row0 = tile_row_ref[t]
-    feature = tile_feature_ref[t]
-    b = rows_ref.shape[1]
-    d = g_ref.shape[2]
-    # transposed one-hot build: [128, C] straight from the id row — no
-    # in-kernel relayouts
-    tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
 
-    n_chunks = b // _B_CHUNK  # caller pads B to a chunk multiple
+    def kernel(tile_feature_ref, tile_row_ref, rows_ref, g_ref, out_ref):
+        t = pl.program_id(0)
+        row0 = tile_row_ref[t]
+        feature = tile_feature_ref[t]
+        b = rows_ref.shape[1]
+        d = g_ref.shape[1] if transposed else g_ref.shape[2]
+        # transposed one-hot build: [128, C] straight from the id row — no
+        # in-kernel relayouts
+        tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
 
-    def body(i, acc):
-        lo = i * _B_CHUNK
-        ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, _B_CHUNK)]  # [1, C]
-        # bf16 operands: the one-hot is exact in bf16 and the grad rounding
-        # (~1e-2 relative) is standard for embedding grads; f32 here costs
-        # 4x on the MXU, which is already N-underutilized at small D
-        onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
-        g = g_ref[0, pl.ds(lo, _B_CHUNK), :].astype(jnp.bfloat16)  # [C, D]
-        return acc + jnp.dot(onehot_t, g, preferred_element_type=jnp.float32)
+        n_chunks = b // _B_CHUNK  # caller pads B to a chunk multiple
 
-    out_ref[:, :] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((TILE_ROWS, d), jnp.float32)
-    )
+        def body(i, acc):
+            lo = i * _B_CHUNK
+            ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, _B_CHUNK)]  # [1, C]
+            # bf16 operands: the one-hot is exact in bf16 and the grad
+            # rounding (~1e-2 relative) is standard for embedding grads; f32
+            # here costs 4x on the MXU
+            onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
+            if transposed:
+                g = g_ref[0, :, pl.ds(lo, _B_CHUNK)].astype(jnp.bfloat16)  # [D, C]
+                return acc + jax.lax.dot_general(
+                    g,
+                    onehot_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            g = g_ref[0, pl.ds(lo, _B_CHUNK), :].astype(jnp.bfloat16)  # [C, D]
+            return acc + jnp.dot(onehot_t, g, preferred_element_type=jnp.float32)
+
+        shape = (d, TILE_ROWS) if transposed else (TILE_ROWS, d)
+        out_ref[:, :] = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(shape, jnp.float32))
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("total_rows", "tile_feature", "interpret"))
-def dense_table_grad(
+_KERNEL_STD = _grad_kernel(transposed=False)
+_KERNEL_T = _grad_kernel(transposed=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("total_rows", "tile_feature", "transposed", "interpret")
+)
+def _dense_table_grad(
     rows: jax.Array,
     g: jax.Array,
     *,
     total_rows: int,
     tile_feature: tuple[int, ...],
+    transposed: bool,
     interpret: bool = False,
 ) -> jax.Array:
-    """Table gradient [total_rows, D] from global row ids [B, K] and
-    upstream grads [B, K, D]. ``tile_feature[t]`` = feature owning tile t
-    (from models.embedding.tile_feature_map); len == total_rows // 128."""
     b, k = rows.shape
     d = g.shape[2]
     assert total_rows % TILE_ROWS == 0
@@ -99,77 +125,54 @@ def dense_table_grad(
     b_pad = rows.shape[0]
 
     # feature-major layouts so blocks satisfy TPU (sublane, lane) tiling:
-    # rows [K, B] (full-array block), g [K, B, D] (block (1, B, D)).
-    # The transpose is a real relayout copy (measured 0.21 ms/step at
-    # B=8192, K=32 in f32); cast to bf16 FIRST — the kernel contracts in
-    # bf16 anyway, so this halves the copy at zero accuracy cost.
+    # rows [K, B] (full-array block); grads [K, B, D] (standard) or
+    # [K, D, B] (transposed). The relayout is a real copy — cast to bf16
+    # FIRST (the kernel contracts in bf16 anyway), halving the copied bytes.
     rows_t = rows.astype(jnp.int32).T
-    g_t = jnp.transpose(g.astype(jnp.bfloat16), (1, 0, 2))
+    g_t = jnp.transpose(g.astype(jnp.bfloat16), (1, 2, 0) if transposed else (1, 0, 2))
 
     tf = jnp.asarray(np.asarray(tile_feature, np.int32))
     tr = jnp.asarray(np.arange(n_tiles, dtype=np.int32) * TILE_ROWS)
+
+    g_block = (1, d, b_pad) if transposed else (1, b_pad, d)
+    out_block = (d, TILE_ROWS) if transposed else (TILE_ROWS, d)
+    out_index = (lambda t, tf, tr: (0, t)) if transposed else (lambda t, tf, tr: (t, 0))
+    out_shape = (d, total_rows) if transposed else (total_rows, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((k, b_pad), lambda t, tf, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, b_pad, d), lambda t, tf, tr: (tf[t], 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(g_block, lambda t, tf, tr: (tf[t], 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (TILE_ROWS, d), lambda t, tf, tr: (t, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _grad_kernel,
+        _KERNEL_T if transposed else _KERNEL_STD,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((total_rows, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )(tf, tr, rows_t, g_t)
 
 
-def _grad_kernel_t(tile_feature_ref, tile_row_ref, rows_ref, g_ref, out_ref):
-    """Transposed-output variant: one program = one 128-row tile, written as
-    a [D, TILE_ROWS] column block of dTᵀ.
-
-    Motivation: the standard kernel's matmul is [128, C] @ [C, D] — with
-    D=32 the MXU drives only 32 of its 128 result lanes, which profiling
-    shows is the kernel's floor (BENCHMARKS.md per-op table). Swapping the
-    output orientation makes the matmul [D, C] @ᵀ [128, C] → [D, 128]: the
-    128-row tile sits on the fully-used N axis and the small D becomes M,
-    so ~4x fewer rows stream through the systolic array. The one-hot tile
-    is built exactly as before (no in-kernel relayouts); the RHS-side
-    contraction on the lane dim is native to the MXU's weight feed.
-    """
-    t = pl.program_id(0)
-    row0 = tile_row_ref[t]
-    feature = tile_feature_ref[t]
-    b = rows_ref.shape[1]
-    d = g_ref.shape[1]
-    tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
-
-    n_chunks = b // _B_CHUNK
-
-    def body(i, acc):
-        lo = i * _B_CHUNK
-        ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, _B_CHUNK)]  # [1, C]
-        onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
-        g = g_ref[0, :, pl.ds(lo, _B_CHUNK)].astype(jnp.bfloat16)  # [D, C]
-        return acc + jax.lax.dot_general(
-            g,
-            onehot_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_ref[:, :] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((d, TILE_ROWS), jnp.float32)
+def dense_table_grad(
+    rows: jax.Array,
+    g: jax.Array,
+    *,
+    total_rows: int,
+    tile_feature: tuple[int, ...],
+    interpret: bool = False,
+) -> jax.Array:
+    """Table gradient [total_rows, D] from global row ids [B, K] and
+    upstream grads [B, K, D]. ``tile_feature[t]`` = feature owning tile t
+    (from models.embedding.tile_feature_map); len == total_rows // 128."""
+    return _dense_table_grad(
+        rows, g, total_rows=total_rows, tile_feature=tile_feature,
+        transposed=False, interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("total_rows", "tile_feature", "interpret"))
 def dense_table_grad_t(
     rows: jax.Array,
     g: jax.Array,
@@ -179,48 +182,12 @@ def dense_table_grad_t(
     interpret: bool = False,
 ) -> jax.Array:
     """Transposed-layout table gradient: returns dTᵀ with shape
-    [D, total_rows] (same math as :func:`dense_table_grad`; transpose
-    outside, or feed an optimizer that accepts the D-major layout)."""
-    b, k = rows.shape
-    d = g.shape[2]
-    assert total_rows % TILE_ROWS == 0
-    n_tiles = total_rows // TILE_ROWS
-    assert len(tile_feature) == n_tiles
-
-    pad = (-b) % _B_CHUNK
-    if pad:
-        rows = jnp.concatenate([rows, jnp.full((pad, k), -1, jnp.int32)])
-        g = jnp.concatenate([g, jnp.zeros((pad, k, d), g.dtype)])
-    b_pad = rows.shape[0]
-
-    # feature-major ids as in the standard kernel; grads relayout to
-    # [K, D, B] so each program's block is the feature's gᵀ (bf16 first —
-    # halves the relayout copy, the kernel contracts in bf16 anyway)
-    rows_t = rows.astype(jnp.int32).T
-    g_t = jnp.transpose(g.astype(jnp.bfloat16), (1, 2, 0))
-
-    tf = jnp.asarray(np.asarray(tile_feature, np.int32))
-    tr = jnp.asarray(np.arange(n_tiles, dtype=np.int32) * TILE_ROWS)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((k, b_pad), lambda t, tf, tr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, d, b_pad), lambda t, tf, tr: (tf[t], 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (d, TILE_ROWS), lambda t, tf, tr: (0, t), memory_space=pltpu.VMEM
-        ),
+    [D, total_rows] (same math as :func:`dense_table_grad`, ~4x less MXU
+    streaming at D=32; transpose outside or consume the D-major layout)."""
+    return _dense_table_grad(
+        rows, g, total_rows=total_rows, tile_feature=tile_feature,
+        transposed=True, interpret=interpret,
     )
-    return pl.pallas_call(
-        _grad_kernel_t,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d, total_rows), jnp.float32),
-        interpret=interpret,
-    )(tf, tr, rows_t, g_t)
 
 
 # ---------------------------------------------------------------------------

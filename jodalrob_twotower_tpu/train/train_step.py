@@ -76,7 +76,15 @@ def dropout_key(model_cfg, rng):
     data = rng
     if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
         data = jax.random.key_data(data)
-    return jax.random.wrap_key_data(jnp.concatenate([data, data]), impl="rbg")
+    # rbg key data is 4 uint32 words; threefry is 2 (duplicate them). A key
+    # that is already 4 words (default impl set to rbg/unsafe_rbg) wraps
+    # as-is.
+    words = data.shape[-1]
+    if words == 2:
+        data = jnp.concatenate([data, data], axis=-1)
+    elif words != 4:
+        raise ValueError(f"cannot derive an rbg key from {words}-word key data")
+    return jax.random.wrap_key_data(data, impl="rbg")
 
 
 def _forward_loss(
@@ -304,11 +312,16 @@ def device_store(feature_store, *, sharding=None, dtype=None):
     dense block (bf16 halves HBM footprint; towers cast to compute dtype
     anyway).
     """
+    import numpy as np
+
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jax.device_put
-    dense = put(feature_store.dense)
+    dense = feature_store.dense
     if dtype is not None:
-        dense = dense.astype(dtype)  # cast on device; numpy lacks bf16
-    return dense, put(feature_store.cat_ids)
+        # cast on the HOST (numpy handles bf16 via ml_dtypes): halves the
+        # bytes shipped over the ~100 MB/s tunnel and avoids the transient
+        # f32+bf16 double residency an on-device cast would leave in HBM
+        dense = np.asarray(dense).astype(dtype)
+    return put(dense), put(feature_store.cat_ids)
 
 
 def make_eval_step(

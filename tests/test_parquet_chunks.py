@@ -84,3 +84,38 @@ def test_empty_stream(tmp_path):
     manifest = write_parquet_chunks(iter(()), tmp_path / "t", table_name="t")
     assert manifest["n_rows"] == 0 and manifest["n_files"] == 0
     assert load_parquet_chunks(tmp_path / "t") == {}
+
+
+def test_schema_drift_is_unified(tmp_path):
+    """Per-chunk arrow inference can drift (ints then floats, or an all-NULL
+    chunk inferring 'null'); chunks sharing a file must be cast back to the
+    first chunk's schema instead of crashing mid-export."""
+    def chunks():
+        yield {"pk": np.arange(4, dtype=np.int64),
+               "x": np.asarray([1.0, 2.0, None, 4.0], dtype=object)}
+        yield {"pk": np.arange(4, 8, dtype=np.int64),
+               "x": np.asarray([None, None, None, None], dtype=object)}  # 'null' type
+        yield {"pk": np.arange(8, 12, dtype=np.int64),
+               "x": np.asarray([1, 2, 3, 4], dtype=object)}  # int64 -> cast
+
+    manifest = write_parquet_chunks(chunks(), tmp_path / "t", table_name="t",
+                                    rows_per_file=100)
+    assert manifest["n_rows"] == 12 and manifest["n_files"] == 1
+    data = load_parquet_chunks(tmp_path / "t")
+    assert data["x"][1] == 2.0 and np.isnan(data["x"][4]) and data["x"][8] == 1.0
+
+
+def test_incompatible_schema_drift_raises(tmp_path):
+    def chunks():
+        yield {"x": np.asarray([1.0, 2.0], dtype=np.float32)}
+        yield {"x": np.asarray([["a", "b"], ["c", "d"]], dtype=object)}  # list<str>
+
+    with pytest.raises(ValueError, match="schema drifted"):
+        write_parquet_chunks(chunks(), tmp_path / "t", table_name="t",
+                             rows_per_file=100)
+
+
+def test_rows_per_file_must_be_positive(tmp_path):
+    with pytest.raises(ValueError, match="rows_per_file"):
+        write_parquet_chunks(_chunks(), tmp_path / "t", table_name="t",
+                             rows_per_file=0)

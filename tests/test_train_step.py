@@ -264,3 +264,37 @@ def test_rbg_dropout_trains_and_is_deterministic(tiny_dataset):
     step_tf = make_train_step(model_tf, cfg_tf, tx, donate=False)
     _, m_tf = step_tf(state, batch)
     assert float(m_tf["loss"]) != float(m1["loss"])
+
+
+def test_dropout_key_handles_four_word_keys():
+    """dropout_key must wrap rbg-native (4-word) keys as-is, not blindly
+    duplicate to 8 words (crash found in review: a session with
+    jax_default_prng_impl=rbg makes fold_in yield 4-word keys)."""
+    import dataclasses
+    from jodalrob_twotower_tpu.train.train_step import dropout_key
+
+    cfg = dataclasses.replace(_CFG.model, dropout_rng_impl="rbg")
+    two = jax.random.PRNGKey(0)  # default threefry: 2 words
+    k2 = dropout_key(cfg, two)
+    four = jax.random.key_data(jax.random.key(0, impl="rbg"))  # 4 words
+    k4 = dropout_key(cfg, four)
+    for k in (k2, k4):
+        assert jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+        # usable: draws bits without error
+        jax.random.bernoulli(k, 0.5, (8,))
+    with pytest.raises(ValueError, match="key data"):
+        dropout_key(cfg, jnp.zeros(3, jnp.uint32))
+
+
+def test_config_validation_rejects_typos():
+    import dataclasses
+    from jodalrob_twotower_tpu.config import DataConfig, ModelConfig
+
+    with pytest.raises(ValueError, match="dropout_rng_impl"):
+        ModelConfig(dropout_rng_impl="RBG")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ModelConfig(compute_dtype="bf16")
+    with pytest.raises(ValueError, match="embedding_grad"):
+        ModelConfig(embedding_grad="onehot")
+    with pytest.raises(ValueError, match="device_store_dtype"):
+        DataConfig(device_store_dtype="bf16")
