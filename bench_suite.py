@@ -233,7 +233,7 @@ def serving(kind: str) -> None:
 
 
 def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
-                chunk: int = 262_144) -> None:
+                chunk: int = 262_144, rescore_depth: int | None = None) -> None:
     """BASELINE config 5 at full scale: top-100 over a 10M-row corpus.
 
     Corpus embeddings are generated and quantized ON DEVICE (building them
@@ -282,10 +282,23 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     # floor of reading the int8 corpus once (~20 ms) — scanning 262k chunks
     # with per-chunk merges measured 3.5x slower (152 ms serial).
     if kind == "int8":
+        rescore_rows = None
+        if rescore_depth:
+            # bf16 full-precision copy for the second pass (2.56 GB at 10M):
+            # regenerate from the same PRNG keys, never touching the host
+            @jax.jit
+            def make_bf16_chunk(key):
+                x = jax.random.normal(key, (chunk, d), jnp.float32)
+                return (x / jnp.linalg.norm(x, axis=1, keepdims=True)).astype(jnp.bfloat16)
+
+            rescore_rows = jnp.concatenate([make_bf16_chunk(k) for k in keys])[:n_corpus]
         index = Int8Index.from_quantized(
             jnp.stack([p[0] for p in parts]).reshape(-1, d)[:n_corpus],
             jnp.stack([p[1] for p in parts]).reshape(-1, 1)[:n_corpus],
             corpus_chunk=None, approx_recall=0.97,
+            rescore_depth=rescore_depth,
+            rescore_dtype="bfloat16" if rescore_depth else "int8",
+            rescore_rows=rescore_rows,
         )
         gb = index.nbytes / 1e9
     else:
@@ -336,7 +349,8 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
         exact_res = SearchResult(best_s, best_i.astype(np.int32))
         extra["recall_vs_exact_at100"] = round(recall_vs_exact(approx_res, exact_res), 4)
 
-    _emit(f"serving_{kind}_10m", qps=round(out["qps"], 1), k=100,
+    name = f"serving_{kind}_10m" + (f"_rescore{rescore_depth}" if rescore_depth else "")
+    _emit(name, qps=round(out["qps"], 1), k=100,
           corpus_size=n_corpus, corpus_gb=round(gb, 2),
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
 
@@ -371,6 +385,7 @@ BENCHES = {
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),
     "serving_int8_10m": lambda: serving_10m("int8"),
+    "serving_int8_10m_rescore": lambda: serving_10m("int8", rescore_depth=400),
     "corpus_eval": corpus_eval,
 }
 

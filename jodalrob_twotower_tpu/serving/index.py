@@ -78,6 +78,40 @@ def _merge_topk(scores_a, idx_a, scores_b, idx_b, k: int):
     return s, i
 
 
+def _rescore_topk(queries, cand_scores, cand_idx, k: int, rescore_rows,
+                  rescore_scales=None):
+    """Second-stage exact rescore of first-pass candidates.
+
+    ``cand_idx`` [Q, R] (R >= k) indexes ``rescore_rows`` [N, D] (bf16/f32
+    full-precision copy, or the int8 values with ``rescore_scales`` for a
+    memory-free dequantized rescore). Gathers the R candidate rows per query
+    (Q·R row DMAs — ~1 ms for 1024×400) and replaces the approximate scores
+    with exact dots before the final top-k, recovering the recall lost to
+    ``approx_max_k`` bucketing (and, with a full-precision copy, to int8
+    quantization). The classic two-stage retrieval design the reference
+    lacked entirely.
+    """
+    cand = jnp.take(rescore_rows, cand_idx, axis=0)  # [Q, R, D]
+    if rescore_scales is not None:
+        scale = jnp.take(rescore_scales[:, 0], cand_idx, axis=0)  # [Q, R]
+    qd = queries.astype(jnp.bfloat16 if cand.dtype == jnp.int8 else cand.dtype)
+    s = jnp.einsum(
+        "qd,qrd->qr", qd, cand.astype(qd.dtype), preferred_element_type=jnp.float32
+    )
+    if rescore_scales is not None:
+        s = s * scale
+    # first-pass padding sentinels stay unselectable
+    s = jnp.where(cand_scores <= _NEG, _NEG, s)
+    s2, sel = jax.lax.top_k(s, k)
+    return s2, jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
+def _check_rescore_depth(depth: int | None) -> int | None:
+    if depth is not None and depth < 1:
+        raise ValueError(f"rescore_depth must be >= 1, got {depth}")
+    return depth
+
+
 def _select_topk(sims, k: int, approx_recall: float | None):
     """Per-block candidate selection: exact sort-based top-k, or the TPU-native
     ``approx_max_k``. On this hardware approx_max_k fuses with the producing
@@ -124,13 +158,15 @@ class BruteForceIndex:
 
     def __init__(self, corpus_emb, *, query_chunk: int = 1024,
                  corpus_chunk: int | None = None,
-                 approx_recall: float | None = None) -> None:
+                 approx_recall: float | None = None,
+                 rescore_depth: int | None = None) -> None:
         corpus = (corpus_emb if isinstance(corpus_emb, jax.Array)
                   else np.asarray(corpus_emb, np.float32))
         corpus = corpus.astype(_xp(corpus).float32)
         self.query_chunk = query_chunk
         self.corpus_chunk = corpus_chunk
         self.approx_recall = approx_recall
+        self.rescore_depth = _check_rescore_depth(rescore_depth)
         if corpus_chunk is None:
             self.corpus = jnp.asarray(corpus)
             self.n_valid = corpus.shape[0]
@@ -144,16 +180,27 @@ class BruteForceIndex:
 
     def _topk_impl(self, queries, k: int, corpus):
         q32 = queries.astype(jnp.float32)
+        kk = max(k, self.rescore_depth or 0)
         if self.corpus_chunk is None:
+            kk = max(k, min(kk, corpus.shape[0]))
             sims = jnp.dot(q32, corpus.T, preferred_element_type=jnp.float32)
-            return _select_topk(sims, k, self.approx_recall)
-        nc, c, _ = corpus.shape
+            s, i = _select_topk(sims, kk, self.approx_recall)
+            flat = corpus
+        else:
+            nc, c, _ = corpus.shape
+            kk = max(k, min(kk, c))  # per-chunk candidate cap
 
-        def chunk_sims(qs, ci):
-            return jnp.dot(qs, corpus[ci].T, preferred_element_type=jnp.float32)
+            def chunk_sims(qs, ci):
+                return jnp.dot(qs, corpus[ci].T, preferred_element_type=jnp.float32)
 
-        return _scanned_topk(chunk_sims, nc, c, self.n_valid, q32, k,
-                             self.approx_recall)
+            s, i = _scanned_topk(chunk_sims, nc, c, self.n_valid, q32, kk,
+                                 self.approx_recall)
+            flat = corpus.reshape(-1, corpus.shape[-1])
+        if not self.rescore_depth:
+            return s, i
+        # exact second pass over the kk candidates (fixes approx_max_k /
+        # chunk-merge selection error; scores become exact f32 dots)
+        return _rescore_topk(q32, s, i, k, flat)
 
     def corpus_args(self) -> tuple:
         """Device arrays the search body needs (pass through enclosing jits)."""
@@ -187,19 +234,41 @@ class Int8Index:
 
     def __init__(self, corpus_emb, *, query_chunk: int = 1024,
                  corpus_chunk: int | None = None,
-                 approx_recall: float | None = None) -> None:
+                 approx_recall: float | None = None,
+                 rescore_depth: int | None = None,
+                 rescore_dtype: str = "int8") -> None:
         corpus = (corpus_emb if isinstance(corpus_emb, jax.Array)
                   else np.asarray(corpus_emb, np.float32))
-        values, scales = quantize_int8(corpus.astype(_xp(corpus).float32))
+        corpus = corpus.astype(_xp(corpus).float32)
+        values, scales = quantize_int8(corpus)
+        rescore_rows = None
+        if rescore_depth and rescore_dtype == "bfloat16":
+            rescore_rows = corpus  # cast + pad in _init_from_quantized
         self._init_from_quantized(values, scales, query_chunk, corpus_chunk,
-                                  approx_recall)
+                                  approx_recall, rescore_depth=rescore_depth,
+                                  rescore_dtype=rescore_dtype,
+                                  rescore_rows=rescore_rows)
 
     def _init_from_quantized(self, values, scales, query_chunk: int,
                              corpus_chunk: int | None,
-                             approx_recall: float | None = None) -> None:
+                             approx_recall: float | None = None,
+                             rescore_depth: int | None = None,
+                             rescore_dtype: str = "int8",
+                             rescore_rows=None) -> None:
+        if rescore_dtype not in ("int8", "bfloat16"):
+            raise ValueError(
+                f"rescore_dtype must be 'int8' or 'bfloat16', got {rescore_dtype!r}"
+            )
+        if rescore_depth and rescore_dtype == "bfloat16" and rescore_rows is None:
+            raise ValueError(
+                "bfloat16 rescore needs the full-precision corpus; build via "
+                "Int8Index(corpus_emb, ...) or pass rescore_rows"
+            )
         self.query_chunk = query_chunk
         self.corpus_chunk = corpus_chunk
         self.approx_recall = approx_recall
+        self.rescore_depth = _check_rescore_depth(rescore_depth)
+        self.rescore_dtype = rescore_dtype
         if corpus_chunk is None:
             self.values = jnp.asarray(values)  # [N, D] int8
             self.scales = jnp.asarray(scales)  # [N, 1] f32
@@ -209,37 +278,67 @@ class Int8Index:
             sc, _ = _pad_chunks(scales, corpus_chunk)
             self.values = jnp.asarray(vc)  # [nc, C, D]
             self.scales = jnp.asarray(sc)  # [nc, C, 1]
+        self.rescore_rows = None
+        if self.rescore_depth and rescore_dtype == "bfloat16":
+            rows = rescore_rows.astype(jnp.bfloat16)
+            if corpus_chunk is not None:
+                # pad flat to the chunked row count so candidate indices into
+                # padding rows stay in-bounds (their scores are masked)
+                rows, _ = _pad_chunks(rows, corpus_chunk)
+                rows = rows.reshape(-1, rows.shape[-1])
+            self.rescore_rows = jnp.asarray(rows)  # [N_pad, D] bf16
         self._jit_search = jax.jit(self._topk_impl, static_argnums=(1,))
 
     @classmethod
     def from_quantized(cls, values, scales, *, query_chunk: int = 1024,
                        corpus_chunk: int | None = None,
-                       approx_recall: float | None = None) -> "Int8Index":
+                       approx_recall: float | None = None,
+                       rescore_depth: int | None = None,
+                       rescore_dtype: str = "int8",
+                       rescore_rows=None) -> "Int8Index":
         """Build from already-quantized rows (device arrays stay on device)."""
         idx = cls.__new__(cls)
         if not isinstance(values, jax.Array):
             values, scales = np.asarray(values), np.asarray(scales)
         idx._init_from_quantized(values, scales, query_chunk, corpus_chunk,
-                                 approx_recall)
+                                 approx_recall, rescore_depth=rescore_depth,
+                                 rescore_dtype=rescore_dtype,
+                                 rescore_rows=rescore_rows)
         return idx
 
-    def _topk_impl(self, queries, k: int, values, scales):
+    def _topk_impl(self, queries, k: int, values, scales, *rescore_args):
         qbf = queries.astype(jnp.bfloat16)
+        kk = max(k, self.rescore_depth or 0)
         if self.corpus_chunk is None:
+            kk = max(k, min(kk, values.shape[0]))
             sims = jnp.dot(qbf, values.T.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32) * scales[:, 0][None, :]
-            return _select_topk(sims, k, self.approx_recall)
-        nc, c, _ = values.shape
+            s, i = _select_topk(sims, kk, self.approx_recall)
+            values_flat, scales_flat = values, scales
+        else:
+            nc, c, _ = values.shape
+            kk = max(k, min(kk, c))  # per-chunk candidate cap
 
-        def chunk_sims(qs, ci):
-            return jnp.dot(qs, values[ci].T.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32) * scales[ci][:, 0][None, :]
+            def chunk_sims(qs, ci):
+                return jnp.dot(qs, values[ci].T.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32) * scales[ci][:, 0][None, :]
 
-        return _scanned_topk(chunk_sims, nc, c, self.n_valid, qbf, k,
-                             self.approx_recall)
+            s, i = _scanned_topk(chunk_sims, nc, c, self.n_valid, qbf, kk,
+                                 self.approx_recall)
+            values_flat = values.reshape(-1, values.shape[-1])
+            scales_flat = scales.reshape(-1, 1)
+        if not self.rescore_depth:
+            return s, i
+        if rescore_args:  # bf16 full-precision second pass
+            return _rescore_topk(queries, s, i, k, rescore_args[0])
+        # memory-free second pass on dequantized int8 rows: fixes the
+        # approx_max_k / chunk-merge selection error (not quantization)
+        return _rescore_topk(queries, s, i, k, values_flat, scales_flat)
 
     def corpus_args(self) -> tuple:
         """Device arrays the search body needs (pass through enclosing jits)."""
+        if self.rescore_rows is not None:
+            return (self.values, self.scales, self.rescore_rows)
         return (self.values, self.scales)
 
     def topk_body(self, queries, k: int, *corpus_args):
@@ -379,11 +478,20 @@ def save_index(index: "BruteForceIndex | Int8Index", path) -> None:
     """Persist a built index (npz): rebuildable without the towers."""
     if isinstance(index, Int8Index):
         values, scales = index._host_quantized()
+        extra = {}
+        if index.rescore_rows is not None:
+            # bf16 doesn't survive npz: persist as f32 (exact superset)
+            extra["rescore_rows"] = np.asarray(
+                index.rescore_rows.astype(jnp.float32)
+            )
         np.savez_compressed(
             path, kind="int8", values=values, scales=scales,
             query_chunk=index.query_chunk,
             corpus_chunk=index.corpus_chunk or 0,
             approx_recall=index.approx_recall or 0.0,
+            rescore_depth=index.rescore_depth or 0,
+            rescore_dtype=index.rescore_dtype,
+            **extra,
         )
     else:
         np.savez_compressed(
@@ -391,6 +499,7 @@ def save_index(index: "BruteForceIndex | Int8Index", path) -> None:
             query_chunk=index.query_chunk,
             corpus_chunk=index.corpus_chunk or 0,
             approx_recall=index.approx_recall or 0.0,
+            rescore_depth=index.rescore_depth or 0,
         )
 
 
@@ -399,16 +508,22 @@ def load_index(path) -> "BruteForceIndex | Int8Index":
         kind = str(z["kind"])
         corpus_chunk = int(z["corpus_chunk"]) if "corpus_chunk" in z else 0
         approx = float(z["approx_recall"]) if "approx_recall" in z else 0.0
+        depth = int(z["rescore_depth"]) if "rescore_depth" in z else 0
         if kind == "int8":
             return Int8Index.from_quantized(
                 z["values"], z["scales"],
                 query_chunk=int(z["query_chunk"]),
                 corpus_chunk=corpus_chunk or None,
                 approx_recall=approx or None,
+                rescore_depth=depth or None,
+                rescore_dtype=(str(z["rescore_dtype"])
+                               if "rescore_dtype" in z else "int8"),
+                rescore_rows=(z["rescore_rows"] if "rescore_rows" in z else None),
             )
         return BruteForceIndex(z["corpus"], query_chunk=int(z["query_chunk"]),
                                corpus_chunk=corpus_chunk or None,
-                               approx_recall=approx or None)
+                               approx_recall=approx or None,
+                               rescore_depth=depth or None)
 
 
 def recall_vs_exact(

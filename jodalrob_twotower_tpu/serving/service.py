@@ -60,6 +60,8 @@ class RetrievalService:
         query_chunk: int = 1024,
         corpus_chunk: int | None = None,
         approx_recall: float | None = None,
+        rescore_depth: int | None = None,
+        rescore_dtype: str = "int8",
         mesh=None,
         precomputed_corpus_emb=None,
         prebuilt_index=None,
@@ -93,15 +95,25 @@ class RetrievalService:
                         "shard size (more devices) instead. Silently ignoring the "
                         "request would OOM at exactly the corpus sizes it targets."
                     )
+                if rescore_depth is not None:
+                    raise ValueError(
+                        "rescore_depth is not supported with a mesh yet; use the "
+                        "single-device Int8Index/BruteForceIndex rescore path"
+                    )
                 self.index = ShardedIndex(
                     corpus_emb, mesh, kind=index_kind, query_chunk=query_chunk,
                     approx_recall=approx_recall,
                 )
-            else:
-                cls = {"exact": BruteForceIndex, "int8": Int8Index}[index_kind]
-                self.index = cls(
+            elif index_kind == "int8":
+                self.index = Int8Index(
                     corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk,
-                    approx_recall=approx_recall,
+                    approx_recall=approx_recall, rescore_depth=rescore_depth,
+                    rescore_dtype=rescore_dtype,
+                )
+            else:
+                self.index = BruteForceIndex(
+                    corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk,
+                    approx_recall=approx_recall, rescore_depth=rescore_depth,
                 )
         self._encode_notice = self._evaluator._encode_notice
         # one dispatch per query batch: tower forward + MIPS fused in one jit.

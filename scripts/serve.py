@@ -42,6 +42,15 @@ def parse_args(argv=None):
     p.add_argument("--approx-recall", type=float,
                    help="use approx_max_k candidate selection with this "
                    "recall target (fast path for big corpora)")
+    p.add_argument("--rescore-depth", type=int,
+                   help="two-stage search: over-fetch this many candidates, "
+                        "then re-rank them with exact dots (recovers recall "
+                        "lost to --approx-recall / int8 quantization)")
+    p.add_argument("--rescore-dtype", choices=["int8", "bfloat16"],
+                   default="int8",
+                   help="second-pass precision: int8 = memory-free "
+                        "(dequantized rows), bfloat16 = keeps a "
+                        "full-precision copy for near-exact final scores")
     p.add_argument("--save-index", type=Path, help="persist the built index (npz)")
     p.add_argument("--load-index", type=Path, help="serve a persisted index")
     p.add_argument("--k", type=int, default=10)
@@ -103,6 +112,7 @@ def main(argv=None) -> int:
                 ("--index", args.index, "int8"),  # parse_args defaults
                 ("--corpus-chunk", args.corpus_chunk, None),
                 ("--approx-recall", args.approx_recall, None),
+                ("--rescore-depth", args.rescore_depth, None),
             ) if val != default
         ]
         if ignored:
@@ -116,6 +126,8 @@ def main(argv=None) -> int:
         index_kind=args.index,
         corpus_chunk=args.corpus_chunk,
         approx_recall=args.approx_recall,
+        rescore_depth=args.rescore_depth,
+        rescore_dtype=args.rescore_dtype,
         prebuilt_index=prebuilt,
     )
     print(f"index: {args.index if prebuilt is None else 'loaded'} over "

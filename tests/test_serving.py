@@ -266,3 +266,69 @@ def test_index_save_load_roundtrip(tmp_path, rng):
         out = loaded.search(queries, k=5)
         np.testing.assert_array_equal(out.indices, ref.indices)
         np.testing.assert_allclose(out.scores, ref.scores, rtol=1e-6)
+
+
+def test_rescore_recovers_approx_and_quant_loss(rng):
+    """Two-stage search: approx int8 first pass over-fetches rescore_depth
+    candidates, exact second pass re-ranks. bf16 rescore must recover BOTH
+    the approx_max_k selection loss and (most of) the int8 quantization
+    loss; int8 (memory-free) rescore recovers the selection loss only."""
+    from jodalrob_twotower_tpu.serving.index import save_index, load_index
+
+    corpus = _unit(rng, 4096, 32)
+    queries = _unit(rng, 64, 32)
+    k = 10
+    exact = BruteForceIndex(corpus).search(queries, k=k)
+
+    plain = Int8Index(corpus, approx_recall=0.9).search(queries, k=k)
+    res_i8 = Int8Index(corpus, approx_recall=0.9, rescore_depth=8 * k
+                       ).search(queries, k=k)
+    res_bf = Int8Index(corpus, approx_recall=0.9, rescore_depth=8 * k,
+                       rescore_dtype="bfloat16").search(queries, k=k)
+    r_plain = recall_vs_exact(plain, exact)
+    r_i8 = recall_vs_exact(res_i8, exact)
+    r_bf = recall_vs_exact(res_bf, exact)
+    assert r_i8 >= r_plain - 1e-9
+    assert r_bf >= max(r_i8, 0.97), (r_plain, r_i8, r_bf)
+    # bf16-rescored scores approximate the exact f32 dots closely
+    np.testing.assert_allclose(res_bf.scores, exact.scores, atol=2e-2)
+
+    # exact index + approx selection + rescore = fully exact result
+    res_ex = BruteForceIndex(corpus, approx_recall=0.9, rescore_depth=8 * k
+                             ).search(queries, k=k)
+    assert recall_vs_exact(res_ex, exact) >= 0.99
+    np.testing.assert_allclose(res_ex.scores, exact.scores, atol=1e-5)
+
+
+def test_rescore_chunked_and_roundtrip(tmp_path, rng):
+    """Rescore composes with the chunk-scanned layout (candidate indices are
+    global rows; padding rows stay unselectable) and survives save/load."""
+    from jodalrob_twotower_tpu.serving.index import load_index, save_index
+
+    corpus = _unit(rng, 1000, 16)  # pads to 2 chunks of 512
+    queries = _unit(rng, 32, 16)
+    exact = BruteForceIndex(corpus).search(queries, k=5)
+    idx = Int8Index(corpus, corpus_chunk=512, rescore_depth=50,
+                    rescore_dtype="bfloat16")
+    res = idx.search(queries, k=5)
+    assert res.indices.max() < 1000  # never a padding row
+    assert recall_vs_exact(res, exact) >= 0.95
+
+    save_index(idx, tmp_path / "idx.npz")
+    idx2 = load_index(tmp_path / "idx.npz")
+    assert idx2.rescore_depth == 50 and idx2.rescore_dtype == "bfloat16"
+    res2 = idx2.search(queries, k=5)
+    np.testing.assert_array_equal(res.indices, res2.indices)
+
+    # depth larger than a chunk clamps instead of crashing
+    big = Int8Index(corpus, corpus_chunk=512, rescore_depth=5000)
+    big.search(queries, k=5)
+
+    with pytest.raises(ValueError, match="rescore_depth"):
+        Int8Index(corpus, rescore_depth=0)
+    with pytest.raises(ValueError, match="rescore_dtype"):
+        Int8Index(corpus, rescore_depth=10, rescore_dtype="fp4")
+    with pytest.raises(ValueError, match="full-precision"):
+        Int8Index.from_quantized(np.zeros((8, 4), np.int8),
+                                 np.ones((8, 1), np.float32),
+                                 rescore_depth=4, rescore_dtype="bfloat16")
