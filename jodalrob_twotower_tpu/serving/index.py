@@ -389,14 +389,22 @@ class ShardedIndex:
 
     def __init__(self, corpus_emb, mesh, *, axis: str = "data",
                  kind: str = "exact", query_chunk: int = 1024,
-                 approx_recall: float | None = None) -> None:
+                 approx_recall: float | None = None,
+                 rescore_depth: int | None = None,
+                 rescore_dtype: str = "int8") -> None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if rescore_dtype not in ("int8", "bfloat16"):
+            raise ValueError(
+                f"rescore_dtype must be 'int8' or 'bfloat16', got {rescore_dtype!r}"
+            )
         self.mesh = mesh
         self.axis = axis
         self.kind = kind
         self.query_chunk = query_chunk
         self.approx_recall = approx_recall
+        self.rescore_depth = _check_rescore_depth(rescore_depth)
+        self.rescore_dtype = rescore_dtype
         ndev = mesh.shape[axis]
         corpus = (corpus_emb if isinstance(corpus_emb, jax.Array)
                   else np.asarray(corpus_emb, np.float32))
@@ -411,10 +419,15 @@ class ShardedIndex:
             )
         self.shard_rows = shard_rows
         row_sharded = NamedSharding(mesh, P(axis, None))
+        self.rescore_rows = None
         if kind == "int8":
             values, scales = quantize_int8(corpus)
             self.values = jax.device_put(values, row_sharded)
             self.scales = jax.device_put(scales, row_sharded)
+            if self.rescore_depth and rescore_dtype == "bfloat16":
+                self.rescore_rows = jax.device_put(
+                    corpus.astype(jnp.bfloat16), row_sharded
+                )
         elif kind == "exact":
             self.corpus = jax.device_put(corpus, row_sharded)
         else:
@@ -426,7 +439,11 @@ class ShardedIndex:
 
     def corpus_args(self) -> tuple:
         """Device arrays the search body needs (pass through enclosing jits)."""
-        return (self.values, self.scales) if self.kind == "int8" else (self.corpus,)
+        if self.kind != "int8":
+            return (self.corpus,)
+        if self.rescore_rows is not None:
+            return (self.values, self.scales, self.rescore_rows)
+        return (self.values, self.scales)
 
     def topk_body(self, queries, k: int, *corpus_args):
         """Traceable search body; see BruteForceIndex.topk_body."""
@@ -439,11 +456,12 @@ class ShardedIndex:
 
         axis, shard_rows, n_valid = self.axis, self.shard_rows, self.n_valid
         rows = jnp.arange(shard_rows)
+        kk = max(k, min(self.rescore_depth or 0, shard_rows))
 
         def local_search(queries, *shard):
             me = jax.lax.axis_index(axis)
             if self.kind == "int8":
-                values, scales = shard
+                values, scales = shard[0], shard[1]
                 sims = jnp.dot(queries.astype(jnp.bfloat16),
                                values.T.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32) * scales[:, 0][None, :]
@@ -452,7 +470,19 @@ class ShardedIndex:
                 sims = jnp.dot(queries.astype(jnp.float32), corpus.T,
                                preferred_element_type=jnp.float32)
             sims = jnp.where(me * shard_rows + rows[None, :] < n_valid, sims, _NEG)
-            s, i = _select_topk(sims, k, self.approx_recall)
+            s, i = _select_topk(sims, kk, self.approx_recall)
+            if self.rescore_depth and self.kind == "int8":
+                # second pass on LOCAL shard rows (indices are still shard-
+                # local here) — merge then happens on exact scores, so the
+                # cross-shard ordering is exact too
+                if len(shard) == 3:  # bf16 full-precision shard
+                    s, i = _rescore_topk(queries, s, i, k, shard[2])
+                else:  # dequantized int8: fixes selection loss only
+                    s, i = _rescore_topk(queries, s, i, k, values, scales)
+            elif self.rescore_depth:  # exact shards: fix approx selection loss
+                s, i = _rescore_topk(queries, s, i, k, shard[0])
+            elif kk > k:
+                s, i = s[:, :k], i[:, :k]
             i = (i + me * shard_rows).astype(jnp.int32)
             # k candidates per device ride ICI; merge is replicated work
             s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, ndev*k]

@@ -95,14 +95,10 @@ class RetrievalService:
                         "shard size (more devices) instead. Silently ignoring the "
                         "request would OOM at exactly the corpus sizes it targets."
                     )
-                if rescore_depth is not None:
-                    raise ValueError(
-                        "rescore_depth is not supported with a mesh yet; use the "
-                        "single-device Int8Index/BruteForceIndex rescore path"
-                    )
                 self.index = ShardedIndex(
                     corpus_emb, mesh, kind=index_kind, query_chunk=query_chunk,
-                    approx_recall=approx_recall,
+                    approx_recall=approx_recall, rescore_depth=rescore_depth,
+                    rescore_dtype=rescore_dtype,
                 )
             elif index_kind == "int8":
                 self.index = Int8Index(

@@ -332,3 +332,35 @@ def test_rescore_chunked_and_roundtrip(tmp_path, rng):
         Int8Index.from_quantized(np.zeros((8, 4), np.int8),
                                  np.ones((8, 1), np.float32),
                                  rescore_depth=4, rescore_dtype="bfloat16")
+
+
+def test_sharded_rescore_matches_single_device(rng):
+    """ShardedIndex rescore: each shard rescored locally before the ICI
+    merge, so the merged ordering is exact among surfaced candidates."""
+    from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+    from jodalrob_twotower_tpu.serving.index import ShardedIndex
+    import jax
+
+    corpus = _unit(rng, 1000, 16)  # 8 shards x 125 rows
+    queries = _unit(rng, 32, 16)
+    mesh = make_mesh(jax.devices()[:8], None)
+    exact = BruteForceIndex(corpus).search(queries, k=5)
+
+    sh = ShardedIndex(corpus, mesh, kind="int8", approx_recall=0.9,
+                      rescore_depth=40, rescore_dtype="bfloat16")
+    res = sh.search(queries, k=5)
+    assert res.indices.max() < 1000
+    assert recall_vs_exact(res, exact) >= 0.95
+    np.testing.assert_allclose(res.scores, exact.scores, atol=3e-2)
+
+    # single-device reference with the same settings agrees on recall level
+    single = Int8Index(corpus, approx_recall=0.9, rescore_depth=40,
+                       rescore_dtype="bfloat16").search(queries, k=5)
+    assert abs(recall_vs_exact(res, exact) - recall_vs_exact(single, exact)) <= 0.1
+
+    # memory-free int8 rescore and exact-kind rescore also run
+    ShardedIndex(corpus, mesh, kind="int8", approx_recall=0.9,
+                 rescore_depth=40).search(queries, k=5)
+    r_ex = ShardedIndex(corpus, mesh, kind="exact", approx_recall=0.9,
+                        rescore_depth=40).search(queries, k=5)
+    np.testing.assert_allclose(r_ex.scores, exact.scores, atol=1e-5)
