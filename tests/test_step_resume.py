@@ -128,3 +128,43 @@ def test_completed_epoch_outranks_step_checkpoint(dataset, tmp_path):
     assert any("resumed from epoch 1" in l for l in logs)
     steps_per_epoch = len(train_pairs) // cfg.data.batch_size
     assert int(res.state.step) == steps_per_epoch * cfg.optimizer.num_epochs
+
+
+def test_sparse_mode_preemption_resume(dataset, tmp_path, monkeypatch):
+    """The O(batch) sparse-table path must survive preemption the same way:
+    its SparseTrainState (tables + rowwise-Adagrad accumulators outside the
+    dense param tree) round-trips through the step checkpoint and resume is
+    bit-identical to an uninterrupted run."""
+    cfg = _cfg(save_every_steps=2).replace(sparse_tables=True)
+    train_pairs, val_pairs = _split(dataset, cfg)
+
+    base = Trainer(cfg, dataset.schema, dataset.notice_store, dataset.company_store,
+                   log_fn=lambda *_: None)
+    base_res = base.train(train_pairs, val_pairs, checkpoint_dir=tmp_path / "base",
+                          corpus_eval=False, n_inner=2)
+
+    d = tmp_path / "preempted"
+    orig_save = CheckpointManager.save_step
+    calls = {"n": 0}
+
+    def dying_save(self, state, epoch, batch_in_epoch):
+        orig_save(self, state, epoch, batch_in_epoch)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated preemption")
+
+    monkeypatch.setattr(CheckpointManager, "save_step", dying_save)
+    t1 = Trainer(cfg, dataset.schema, dataset.notice_store, dataset.company_store,
+                 log_fn=lambda *_: None)
+    with pytest.raises(KeyboardInterrupt):
+        t1.train(train_pairs, val_pairs, checkpoint_dir=d, corpus_eval=False, n_inner=2)
+    monkeypatch.setattr(CheckpointManager, "save_step", orig_save)
+
+    logs: list[str] = []
+    t2 = Trainer(cfg, dataset.schema, dataset.notice_store, dataset.company_store,
+                 log_fn=logs.append)
+    res = t2.train(train_pairs, val_pairs, checkpoint_dir=d, resume=True,
+                   corpus_eval=False, n_inner=2)
+    assert any("resumed mid-epoch" in l for l in logs), logs[:5]
+    for k, v in base_res.final_val.items():
+        np.testing.assert_allclose(res.final_val[k], v, rtol=1e-6, err_msg=k)
