@@ -258,11 +258,25 @@ def run_trace(n_dispatch=3, top=40):
     tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
             if e.get("ph") == "M" and e.get("name") == "thread_name"}
     agg = collections.Counter()
+    mod_busy = 0
+    mod_lo, mod_hi = float("inf"), 0.0
     for e in ev:
         if e.get("ph") == "X" and "TPU" in str(pids.get(e["pid"], "")):
-            agg[(tids.get((e["pid"], e["tid"]), e["tid"]), e["name"][:60])] += e["dur"]
+            tname = str(tids.get((e["pid"], e["tid"]), e["tid"]))
+            agg[(tname, e["name"][:60])] += e["dur"]
+            if "Modules" in tname:  # whole-program executions on the device
+                mod_busy += e["dur"]
+                mod_lo = min(mod_lo, e["ts"])
+                mod_hi = max(mod_hi, e["ts"] + e["dur"])
     n_steps = n_dispatch * N_INNER
     print(f"device op totals over {n_dispatch} dispatches ({n_steps} steps); trace: {path}")
+    if mod_busy and mod_hi > mod_lo:
+        # step-time device utilization (BASELINE criterion: >= 80%): device
+        # busy executing XLA modules / wall span of the traced region. The
+        # pipelined multi-step dispatch keeps the gap to dispatch latency.
+        util = mod_busy / (mod_hi - mod_lo)
+        print(f"device utilization over the traced span: {util:6.1%} "
+              f"(busy {mod_busy/1e3:.1f} ms / span {(mod_hi-mod_lo)/1e3:.1f} ms)")
     for (tid, name), dur in agg.most_common(top):
         print(f"{dur/1e3:9.3f} ms total  {dur/1e3/n_steps:7.3f} ms/step  [{tid}] {name}")
 
