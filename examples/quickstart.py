@@ -32,8 +32,12 @@ workdir = Path(tempfile.mkdtemp(prefix="twotower_quickstart_"))
 print(f"workdir: {workdir}")
 
 # --- 1. raw tables (stand-ins for the PostgreSQL notice/company tables) ----
+# QUICKSTART_FAST=1 shrinks the run for CI (tests/test_quickstart_example.py)
+import os
+
+FAST = os.environ.get("QUICKSTART_FAST") == "1"
 rng = np.random.default_rng(0)
-n_rows, n_clusters = 2000, 16
+n_rows, n_clusters = (400, 8) if FAST else (2000, 16)
 n_cluster = rng.integers(0, n_clusters, n_rows)
 c_cluster = rng.integers(0, n_clusters, n_rows)
 
@@ -79,7 +83,8 @@ pairs = np.asarray(
     np.int64,
 )
 perm = rng.permutation(len(pairs))
-train_pairs, val_pairs = pairs[perm[300:]], pairs[perm[:300]]
+n_val = 60 if FAST else 300
+train_pairs, val_pairs = pairs[perm[n_val:]], pairs[perm[:n_val]]
 
 # --- 4. train --------------------------------------------------------------
 cfg = TrainConfig(
@@ -92,7 +97,7 @@ cfg = TrainConfig(
         compute_dtype="float32",
     ),
     loss=LossConfig(temperature=0.1),
-    optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=6),
+    optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=2 if FAST else 6),
     data=DataConfig(batch_size=128),
     results_csv=str(workdir / "train_results.csv"),
 )
