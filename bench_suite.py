@@ -233,7 +233,8 @@ def serving(kind: str) -> None:
 
 
 def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
-                chunk: int = 262_144, rescore_depth: int | None = None) -> None:
+                chunk: int = 262_144, rescore_depth: int | None = None,
+                approx_recall: float = 0.97) -> None:
     """BASELINE config 5 at full scale: top-100 over a 10M-row corpus.
 
     Corpus embeddings are generated and quantized ON DEVICE (building them
@@ -295,7 +296,7 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
         index = Int8Index.from_quantized(
             jnp.stack([p[0] for p in parts]).reshape(-1, d)[:n_corpus],
             jnp.stack([p[1] for p in parts]).reshape(-1, 1)[:n_corpus],
-            corpus_chunk=None, approx_recall=0.97,
+            corpus_chunk=None, approx_recall=approx_recall,
             rescore_depth=rescore_depth,
             rescore_dtype="bfloat16" if rescore_depth else "int8",
             rescore_rows=rescore_rows,
@@ -350,6 +351,8 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
         extra["recall_vs_exact_at100"] = round(recall_vs_exact(approx_res, exact_res), 4)
 
     name = f"serving_{kind}_10m" + (f"_rescore{rescore_depth}" if rescore_depth else "")
+    if approx_recall != 0.97:
+        name += f"_rt{approx_recall}"
     _emit(name, qps=round(out["qps"], 1), k=100,
           corpus_size=n_corpus, corpus_gb=round(gb, 2),
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
@@ -386,6 +389,8 @@ BENCHES = {
     "serving_int8": lambda: serving("int8"),
     "serving_int8_10m": lambda: serving_10m("int8"),
     "serving_int8_10m_rescore": lambda: serving_10m("int8", rescore_depth=400),
+    "serving_int8_10m_rescore_rt90": lambda: serving_10m(
+        "int8", rescore_depth=400, approx_recall=0.90),
     "corpus_eval": corpus_eval,
 }
 
