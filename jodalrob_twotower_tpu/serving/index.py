@@ -264,6 +264,13 @@ class Int8Index:
                 "bfloat16 rescore needs the full-precision corpus; build via "
                 "Int8Index(corpus_emb, ...) or pass rescore_rows"
             )
+        if rescore_rows is not None and rescore_rows.shape[0] != values.shape[0]:
+            # jnp.take clamps out-of-bounds indices, so a mismatched copy
+            # would silently score candidates against the WRONG rows
+            raise ValueError(
+                f"rescore_rows has {rescore_rows.shape[0]} rows but values has "
+                f"{values.shape[0]} — they must cover the same corpus"
+            )
         self.query_chunk = query_chunk
         self.corpus_chunk = corpus_chunk
         self.approx_recall = approx_recall
@@ -350,7 +357,12 @@ class Int8Index:
 
     @property
     def nbytes(self) -> int:
-        return self.values.size + self.scales.size * 4
+        """Device bytes the index pins: int8 values + f32 scales + the bf16
+        rescore copy when present."""
+        n = self.values.size + self.scales.size * 4
+        if self.rescore_rows is not None:
+            n += self.rescore_rows.size * 2
+        return n
 
     def search(self, queries, k: int = 10) -> SearchResult:
         score = lambda q, k: self._jit_search(q, k, *self.corpus_args())
@@ -481,8 +493,7 @@ class ShardedIndex:
                     s, i = _rescore_topk(queries, s, i, k, values, scales)
             elif self.rescore_depth:  # exact shards: fix approx selection loss
                 s, i = _rescore_topk(queries, s, i, k, shard[0])
-            elif kk > k:
-                s, i = s[:, :k], i[:, :k]
+            # (kk == k whenever rescore_depth is unset, so no trim needed)
             i = (i + me * shard_rows).astype(jnp.int32)
             # k candidates per device ride ICI; merge is replicated work
             s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, ndev*k]
@@ -510,10 +521,12 @@ def save_index(index: "BruteForceIndex | Int8Index", path) -> None:
         values, scales = index._host_quantized()
         extra = {}
         if index.rescore_rows is not None:
-            # bf16 doesn't survive npz: persist as f32 (exact superset)
+            # bf16 doesn't survive npz: persist as f32 (exact superset);
+            # truncate padding like values/scales — load re-pads to the
+            # chunk multiple
             extra["rescore_rows"] = np.asarray(
                 index.rescore_rows.astype(jnp.float32)
-            )
+            )[: index.n_valid]
         np.savez_compressed(
             path, kind="int8", values=values, scales=scales,
             query_chunk=index.query_chunk,

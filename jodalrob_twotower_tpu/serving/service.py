@@ -87,6 +87,10 @@ class RetrievalService:
                 corpus_emb = self._evaluator.encode_corpus(
                     state, company_store.dense, company_store.cat_ids, side="company"
                 )
+            if index_kind not in ("exact", "int8"):
+                raise ValueError(
+                    f"index_kind must be 'exact' or 'int8', got {index_kind!r}"
+                )
             if mesh is not None:
                 if corpus_chunk is not None:
                     raise ValueError(

@@ -113,6 +113,7 @@ def main(argv=None) -> int:
                 ("--corpus-chunk", args.corpus_chunk, None),
                 ("--approx-recall", args.approx_recall, None),
                 ("--rescore-depth", args.rescore_depth, None),
+                ("--rescore-dtype", args.rescore_dtype, "int8"),
             ) if val != default
         ]
         if ignored:

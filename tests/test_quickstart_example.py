@@ -4,6 +4,9 @@ training -> eval -> serving) — it is the first thing a new user tries."""
 import os
 import subprocess
 import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
 
 
 def test_quickstart_runs():
@@ -13,7 +16,7 @@ def test_quickstart_runs():
     env.pop("PYTHONPATH", None)
     proc = subprocess.run(
         [sys.executable, "examples/quickstart.py"],
-        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO_ROOT,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = proc.stdout

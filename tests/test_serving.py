@@ -364,3 +364,40 @@ def test_sharded_rescore_matches_single_device(rng):
     r_ex = ShardedIndex(corpus, mesh, kind="exact", approx_recall=0.9,
                         rescore_depth=40).search(queries, k=5)
     np.testing.assert_allclose(r_ex.scores, exact.scores, atol=1e-5)
+
+
+def test_rescore_review_fixes(tmp_path, rng):
+    """Regression coverage for review findings: mismatched rescore_rows
+    rejected, nbytes accounts the bf16 copy, persisted rescore rows are
+    truncated like values, bad index_kind raises."""
+    from jodalrob_twotower_tpu.serving.index import load_index, save_index
+
+    corpus = _unit(rng, 1000, 16)
+    with pytest.raises(ValueError, match="must cover the same corpus"):
+        Int8Index.from_quantized(
+            np.zeros((100, 16), np.int8), np.ones((100, 1), np.float32),
+            rescore_depth=10, rescore_dtype="bfloat16",
+            rescore_rows=corpus[:50],
+        )
+
+    idx = Int8Index(corpus, corpus_chunk=512, rescore_depth=20,
+                    rescore_dtype="bfloat16")
+    plain = Int8Index(corpus, corpus_chunk=512)
+    assert idx.nbytes == plain.nbytes + idx.rescore_rows.size * 2
+
+    save_index(idx, tmp_path / "i.npz")
+    with np.load(tmp_path / "i.npz") as z:
+        assert z["rescore_rows"].shape[0] == 1000  # truncated, not padded
+        assert z["values"].shape[0] == 1000
+    idx2 = load_index(tmp_path / "i.npz")
+    q = _unit(rng, 8, 16)
+    np.testing.assert_array_equal(
+        idx.search(q, k=5).indices, idx2.search(q, k=5).indices
+    )
+
+    import jax
+    from jodalrob_twotower_tpu.serving.service import RetrievalService
+
+    with pytest.raises(ValueError, match="index_kind"):
+        RetrievalService(None, None, None, None, index_kind="Int8",
+                         precomputed_corpus_emb=corpus)
