@@ -220,7 +220,7 @@ def serving(kind: str) -> None:
     warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:256])
     state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 10)
     svc = RetrievalService(model, cfg, state, ds.company_store, index_kind=kind)
-    out = qps_bench(svc, ds.notice_store, k=100, batch_size=1024, n_batches=10)
+    out = qps_bench(svc, ds.notice_store, k=k, batch_size=1024, n_batches=10)
     extra = {}
     if kind == "int8":
         ev = svc._evaluator
@@ -234,7 +234,7 @@ def serving(kind: str) -> None:
 
 def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
                 chunk: int = 262_144, rescore_depth: int | None = None,
-                approx_recall: float = 0.97) -> None:
+                approx_recall: float = 0.97, k: int = 100) -> None:
     """BASELINE config 5 at full scale: top-100 over a 10M-row corpus.
 
     Corpus embeddings are generated and quantized ON DEVICE (building them
@@ -313,14 +313,14 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     print("# index built; compiling fused search...", file=sys.stderr, flush=True)
     svc = RetrievalService(model, cfg, state, ds.company_store, prebuilt_index=index,
                            payload_dtype=jnp.float16)
-    out = qps_bench(svc, ds.notice_store, k=100, batch_size=1024, n_batches=10)
+    out = qps_bench(svc, ds.notice_store, k=k, batch_size=1024, n_batches=10)
     print(f"# search path done in {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
 
     # recall vs exact-f32 ranking at full 10M scale, on one query batch:
     # regenerate each f32 chunk from its PRNG key (never holding the 5 GB
     # corpus alongside the int8 index) and merge exact per-chunk top-k on host
     extra = {}
-    if kind == "int8":
+    if kind == "int8" and k == 100:
         from jodalrob_twotower_tpu.serving.index import SearchResult, recall_vs_exact
 
         print("# exact-f32 reference scan (streamed)...", file=sys.stderr, flush=True)
@@ -353,7 +353,9 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     name = f"serving_{kind}_10m" + (f"_rescore{rescore_depth}" if rescore_depth else "")
     if approx_recall != 0.97:
         name += f"_rt{approx_recall}"
-    _emit(name, qps=round(out["qps"], 1), k=100,
+    if k != 100:
+        name += f"_k{k}"
+    _emit(name, qps=round(out["qps"], 1), k=k,
           corpus_size=n_corpus, corpus_gb=round(gb, 2),
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
 
@@ -391,6 +393,7 @@ BENCHES = {
     "serving_int8_10m_rescore": lambda: serving_10m("int8", rescore_depth=400),
     "serving_int8_10m_rescore_rt90": lambda: serving_10m(
         "int8", rescore_depth=400, approx_recall=0.90),
+    "serving_int8_10m_k10": lambda: serving_10m("int8", k=10),
     "corpus_eval": corpus_eval,
 }
 
