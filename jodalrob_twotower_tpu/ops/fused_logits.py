@@ -248,14 +248,50 @@ def _fwd_lean_kernel(n_ref, c_ref, row_ref, col_ref, colm_ref, cols_ref):
         col_ref[0:1, :] = jnp.log(cols_ref[:, :]) + colm_ref[:, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_lean_call(n_scaled, c, *, interpret: bool = False):
-    """Returns (row_lse [B], col_lse [B])."""
+def _fwd_lean_nomax_kernel(n_ref, c_ref, row_ref, col_ref, cols_ref):
+    """Unshifted lean forward. With L2-normalized towers |s| <= 1/τ, so
+    when 1/τ <= _NOMAX_MAX_ABS the raw exp cannot overflow f32 (exp(60) ~
+    1e26, times B=8192 terms ~ 1e30 << f32 max 3.4e38) and the max-shift
+    machinery is pure overhead: this kernel does ONE exp pass and two sums
+    where the stable kernel does two maxes, two exps, two sums and an
+    online col merge — the lean forward is VPU-bound, so this is ~2x."""
+    i = pl.program_id(0)
+
+    s = jnp.dot(
+        n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32
+    )  # [bm, B]
+    es = jnp.exp(s)
+    row_ref[:, :] = jnp.log(jnp.sum(es, axis=1, keepdims=True))
+
+    @pl.when(i == 0)
+    def _():
+        cols_ref[:, :] = jnp.zeros_like(cols_ref)
+
+    cols_ref[:, :] += jnp.sum(es, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        col_ref[0:1, :] = jnp.log(cols_ref[:, :])
+
+
+# |s| bound (= 1/temperature for unit-norm towers) below which the
+# unshifted kernel is numerically safe in f32 with plenty of margin
+_NOMAX_MAX_ABS = 60.0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_abs_logit"))
+def _fused_lean_call(n_scaled, c, *, interpret: bool = False,
+                     max_abs_logit: float | None = None):
+    """Returns (row_lse [B], col_lse [B]). ``max_abs_logit`` is a STATIC
+    bound on |logits| the caller can prove (1/τ for unit-norm inputs);
+    when it is within the no-overflow margin the cheaper unshifted kernel
+    runs, otherwise the max-shifted online-merge kernel."""
     b, d = n_scaled.shape
     bm = _BM if b % _BM == 0 else b
     grid = (b // bm,)
+    nomax = max_abs_logit is not None and max_abs_logit <= _NOMAX_MAX_ABS
     row_lse, col_lse = pl.pallas_call(
-        _fwd_lean_kernel,
+        _fwd_lean_nomax_kernel if nomax else _fwd_lean_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -269,10 +305,14 @@ def _fused_lean_call(n_scaled, c, *, interpret: bool = False):
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, b), jnp.float32),
-            pltpu.VMEM((1, b), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((1, b), jnp.float32)]
+            if nomax
+            else [
+                pltpu.VMEM((1, b), jnp.float32),
+                pltpu.VMEM((1, b), jnp.float32),
+            ]
+        ),
         interpret=interpret,
     )(n_scaled.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
     return row_lse[:, 0], col_lse[0]
@@ -376,7 +416,7 @@ def _fused_bwd_call(n_scaled, c, row_lse, col_lse, eps, *, interpret: bool = Fal
 # ---------------------------------------------------------------------------
 
 
-def _ce_primal(n, c, temperature, label_smoothing, interpret):
+def _ce_primal(n, c, temperature, label_smoothing, interpret, max_abs_logit):
     """Loss + (row_lse, col_lse) residuals. With label_smoothing == 0 the
     loss needs only row_lse/diag/col_lse, so the lean kernel skips the
     rank/sum VPU passes (the stats kernel is VPU-bound, not MXU-bound)."""
@@ -384,7 +424,8 @@ def _ce_primal(n, c, temperature, label_smoothing, interpret):
     b, d = n_scaled.shape
     if label_smoothing == 0.0 and _supported(b, d):
         row_lse, col_lse = _fused_lean_call(
-            n_scaled, c.astype(jnp.float32), interpret=interpret
+            n_scaled, c.astype(jnp.float32), interpret=interpret,
+            max_abs_logit=max_abs_logit,
         )
         # diag_i = S_ii as an O(B·D) rowsum; bf16-round the operands exactly
         # like the kernel rounds its dot inputs so diag matches the lse's S
@@ -397,24 +438,34 @@ def _ce_primal(n, c, temperature, label_smoothing, interpret):
     return _loss_from_stats(stats, label_smoothing), (stats.row_lse, stats.col_lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_bidirectional_ce(
     n: jax.Array,
     c: jax.Array,
     temperature: float = 1.0,
     label_smoothing: float = 0.0,
     interpret: bool = False,
+    max_abs_logit: float | None = None,
 ) -> jax.Array:
-    """Bidirectional in-batch-negatives CE, O(B·D) HBM traffic."""
-    return _ce_primal(n, c, temperature, label_smoothing, interpret)[0]
+    """Bidirectional in-batch-negatives CE, O(B·D) HBM traffic.
+
+    ``max_abs_logit``: STATIC bound on |logits| the caller can prove —
+    pass ``1/temperature`` when both inputs are L2-normalized (the tower
+    contract, models/tower.py). Within the f32 no-overflow margin it lets
+    the lean forward drop its max-shift passes (~2x on the VPU-bound
+    forward). ``None`` always uses the numerically-shifted kernel."""
+    return _ce_primal(n, c, temperature, label_smoothing, interpret,
+                      max_abs_logit)[0]
 
 
-def _ce_fwd(n, c, temperature, label_smoothing, interpret):
-    loss, (row_lse, col_lse) = _ce_primal(n, c, temperature, label_smoothing, interpret)
+def _ce_fwd(n, c, temperature, label_smoothing, interpret, max_abs_logit):
+    loss, (row_lse, col_lse) = _ce_primal(
+        n, c, temperature, label_smoothing, interpret, max_abs_logit
+    )
     return loss, (n, c, row_lse, col_lse)
 
 
-def _ce_bwd(temperature, label_smoothing, interpret, res, g):
+def _ce_bwd(temperature, label_smoothing, interpret, max_abs_logit, res, g):
     n, c, row_lse, col_lse = res
     n_scaled = n.astype(jnp.float32) / temperature
     c32 = c.astype(jnp.float32)

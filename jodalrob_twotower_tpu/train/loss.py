@@ -46,8 +46,15 @@ def bidirectional_ce_loss(
     if use_fused:
         from jodalrob_twotower_tpu.ops.fused_logits import fused_bidirectional_ce
 
-        # nondiff custom_vjp args are positional: (temperature, smoothing)
-        loss = fused_bidirectional_ce(notice_emb, company_emb, temperature, label_smoothing)
+        # nondiff custom_vjp args are positional: (temperature, smoothing,
+        # interpret, max_abs_logit). The embeddings here are tower outputs,
+        # which are L2-normalized by construction (models/tower.py), so
+        # |logits| <= 1/temperature — the static bound that lets the lean
+        # forward kernel skip its max-shift passes.
+        loss = fused_bidirectional_ce(
+            notice_emb, company_emb, temperature, label_smoothing, False,
+            1.0 / temperature,
+        )
         return loss, None
     sim = jnp.dot(notice_emb, company_emb.T, preferred_element_type=jnp.float32) / temperature
     loss = 0.5 * (_smoothed_ce(sim, label_smoothing) + _smoothed_ce(sim.T, label_smoothing))

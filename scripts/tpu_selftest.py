@@ -94,6 +94,15 @@ def check_fused_ce_grads(b: int = 8192, d: int = 128, eps: float = 0.0) -> None:
     emit(f"fused_ce_grads_vs_xla_eps{eps}", ok, loss_rel_err=loss_err,
          grad_norm_rel_err=gn_norm, grad_max_rel_err=g_err, b=b, d=d)
 
+    if eps == 0.0:
+        # the unshifted lean forward (max_abs_logit bound — the production
+        # path for unit-norm towers) must agree with the shifted kernel ON
+        # HARDWARE, not just in interpret mode
+        l_nomax = float(fused_bidirectional_ce(n, c, tau, 0.0, False, 1.0 / tau))
+        err = rel_err(np.asarray(l_nomax), jax.device_get(lf))
+        emit("fused_ce_lean_nomax_vs_shifted", bool(err < 1e-5),
+             loss_rel_err=float(err), b=b, d=d)
+
 
 def check_dense_table_grad(b: int = 8192, k: int = 32) -> None:
     from jodalrob_twotower_tpu.models.embedding import table_layout, tile_feature_map

@@ -116,3 +116,34 @@ def test_loss_from_stats_numerics(rng):
     c = jnp.ones((128, 128), jnp.float32) / jnp.sqrt(128.0)
     out = fused_bidirectional_ce(n, c, 1.0, 0.0, True)
     np.testing.assert_allclose(float(out), np.log(128.0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("tau", [1.0, 0.1])
+def test_lean_nomax_kernel_matches_shifted(rng, tau):
+    """With unit-norm inputs |logits| <= 1/tau, so the unshifted lean
+    forward (max_abs_logit static bound) must agree with the max-shifted
+    kernel and the XLA reference; grads route through the same bwd."""
+    n, c = _embs(rng)
+    shifted = fused_bidirectional_ce(n, c, tau, 0.0, True)
+    nomax = fused_bidirectional_ce(n, c, tau, 0.0, True, 1.0 / tau)
+    ref = bidirectional_ce_loss(
+        jnp.asarray(n), jnp.asarray(c), temperature=tau, use_fused=False
+    )[0]
+    assert float(nomax) == pytest.approx(float(shifted), rel=1e-5)
+    assert float(nomax) == pytest.approx(float(ref), rel=2e-3)  # bf16 dot
+
+    g_s = jax.grad(lambda a, b: fused_bidirectional_ce(a, b, tau, 0.0, True))(n, c)
+    g_n = jax.grad(
+        lambda a, b: fused_bidirectional_ce(a, b, tau, 0.0, True, 1.0 / tau)
+    )(n, c)
+    np.testing.assert_allclose(np.asarray(g_n), np.asarray(g_s), rtol=1e-4, atol=1e-6)
+
+
+def test_lean_nomax_falls_back_when_bound_too_large(rng):
+    """A tiny temperature (bound beyond the f32 exp margin) must use the
+    max-shifted kernel and stay finite."""
+    n, c = _embs(rng)
+    out = fused_bidirectional_ce(n, c, 0.01, 0.0, True, 1.0 / 0.01)
+    assert np.isfinite(float(out))
+    ref = fused_bidirectional_ce(n, c, 0.01, 0.0, True)
+    assert float(out) == pytest.approx(float(ref), rel=1e-5)
