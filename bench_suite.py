@@ -220,7 +220,8 @@ def serving(kind: str) -> None:
     warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:256])
     state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 10)
     svc = RetrievalService(model, cfg, state, ds.company_store, index_kind=kind)
-    out = qps_bench(svc, ds.notice_store, k=k, batch_size=1024, n_batches=10)
+    out = qps_bench(svc, ds.notice_store, k=k, batch_size=1024, n_batches=10,
+                    pipeline_depth=pipeline_depth)
     extra = {}
     if kind == "int8":
         ev = svc._evaluator
@@ -234,7 +235,8 @@ def serving(kind: str) -> None:
 
 def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
                 chunk: int = 262_144, rescore_depth: int | None = None,
-                approx_recall: float = 0.97, k: int = 100) -> None:
+                approx_recall: float = 0.97, k: int = 100,
+                pipeline_depth: int = 2) -> None:
     """BASELINE config 5 at full scale: top-100 over a 10M-row corpus.
 
     Corpus embeddings are generated and quantized ON DEVICE (building them
@@ -313,7 +315,8 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     print("# index built; compiling fused search...", file=sys.stderr, flush=True)
     svc = RetrievalService(model, cfg, state, ds.company_store, prebuilt_index=index,
                            payload_dtype=jnp.float16)
-    out = qps_bench(svc, ds.notice_store, k=k, batch_size=1024, n_batches=10)
+    out = qps_bench(svc, ds.notice_store, k=k, batch_size=1024, n_batches=10,
+                    pipeline_depth=pipeline_depth)
     print(f"# search path done in {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
 
     # recall vs exact-f32 ranking at full 10M scale, on one query batch:
@@ -355,6 +358,8 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
         name += f"_rt{approx_recall}"
     if k != 100:
         name += f"_k{k}"
+    if pipeline_depth != 2:
+        name += f"_pd{pipeline_depth}"
     _emit(name, qps=round(out["qps"], 1), k=k,
           corpus_size=n_corpus, corpus_gb=round(gb, 2),
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
@@ -394,6 +399,8 @@ BENCHES = {
     "serving_int8_10m_rescore_rt90": lambda: serving_10m(
         "int8", rescore_depth=400, approx_recall=0.90),
     "serving_int8_10m_k10": lambda: serving_10m("int8", k=10),
+    "serving_int8_10m_k10_pd4": lambda: serving_10m("int8", k=10, pipeline_depth=4),
+    "serving_int8_10m_pd4": lambda: serving_10m("int8", pipeline_depth=4),
     "corpus_eval": corpus_eval,
 }
 
