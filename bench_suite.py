@@ -203,7 +203,7 @@ def train_hostfed() -> None:
           step_ms=round(dt / n_steps * 1e3, 3), batch=b)
 
 
-def serving(kind: str) -> None:
+def serving(kind: str, k: int = 100, pipeline_depth: int = 2) -> None:
     import jax
 
     from jodalrob_twotower_tpu.config import TrainConfig
@@ -229,7 +229,7 @@ def serving(kind: str) -> None:
         corpus = svc.index  # int8
         exact = BruteForceIndex(ev.encode_corpus(state, ds.company_store.dense, ds.company_store.cat_ids, side="company")).search(q, k=100)
         extra["recall_vs_exact_at100"] = round(recall_vs_exact(corpus.search(q, k=100), exact), 4)
-    _emit(f"serving_{kind}", qps=round(out["qps"], 1), k=100,
+    _emit(f"serving_{kind}", qps=round(out["qps"], 1), k=k,
           corpus_size=out["corpus_size"], **extra)
 
 

@@ -100,6 +100,21 @@ class OptimizerConfig:
     adagrad_init_accumulator: float = 0.1
     adagrad_eps: float = 1e-10
     gradient_clip_norm: float | None = None
+    # Duplicate-id semantics of the sparse-tables rowwise Adagrad
+    # (train/sparse_tables.py): "exact" segment-sums per-occurrence grads
+    # per unique row first, matching the dense path's autodiff-summed
+    # gradients on ANY batch (reference anchor: autodiff through
+    # nn.Embedding, cat_embed.py:156-178); "per_occurrence" applies each
+    # occurrence separately (cheaper: skips a sort, exact only when a row
+    # appears once in the batch).
+    sparse_duplicate_handling: str = "exact"
+
+    def __post_init__(self) -> None:
+        if self.sparse_duplicate_handling not in ("exact", "per_occurrence"):
+            raise ValueError(
+                "sparse_duplicate_handling must be 'exact' or "
+                f"'per_occurrence', got {self.sparse_duplicate_handling!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

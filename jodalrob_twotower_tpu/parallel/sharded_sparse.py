@@ -95,19 +95,17 @@ def make_sharded_sparse_train(
 
     from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS as _DATA
 
-    if cfg.loss.use_fused_logits and mesh.size > 1:
-        raise ValueError(
-            "use_fused_logits is single-device; use the XLA loss path under "
-            "a mesh (see parallel/sharded_train.py for the same guard)"
-        )
     state, tx = create_sparse_train_state(
         model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
     )
     shardings = sparse_state_shardings(state, mesh)
     state = jax.device_put(state, shardings)
 
+    # mesh passed through: use_fused_logits runs the shard_mapped fused CE
+    # (global in-batch negatives, no [B, B] HBM block) at any mesh size.
     step_fn = make_sparse_train_step(
-        model, cfg, tx, total_steps, jit=False, with_metrics=with_metrics
+        model, cfg, tx, total_steps, jit=False, with_metrics=with_metrics,
+        mesh=mesh,
     )
     idx_sharding = batch_sharding(mesh)
     rep = replicated(mesh)
@@ -134,9 +132,11 @@ def make_sharded_sparse_train(
         return state, train_step, put_batch, put_store
 
     if defer_updates:
-        scan_fn = deferred_sparse_steps_fn(model, cfg, tx, total_steps)
+        scan_fn = deferred_sparse_steps_fn(model, cfg, tx, total_steps, mesh=mesh)
     else:
-        inner = make_sparse_train_step(model, cfg, tx, total_steps, jit=False)
+        inner = make_sparse_train_step(
+            model, cfg, tx, total_steps, jit=False, mesh=mesh
+        )
 
         def scan_fn(st, idx_stack, n_store, c_store):
             def body(carry, idx):

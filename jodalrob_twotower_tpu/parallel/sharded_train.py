@@ -81,13 +81,6 @@ def make_sharded_train(
     the step function is the ordinary fused train step jitted with donated,
     sharded inputs.
     """
-    if cfg.loss.use_fused_logits and mesh.size > 1:
-        raise ValueError(
-            "use_fused_logits is single-device: a Pallas custom call cannot be "
-            "partitioned by GSPMD, and running it per-shard would silently "
-            "shrink the in-batch negative set to the local shard. Use the XLA "
-            "loss path under a mesh (the [B,B] matmul is sharded by XLA)."
-        )
     state, tx = create_train_state(
         model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
     )
@@ -96,7 +89,11 @@ def make_sharded_train(
     )
     state = jax.device_put(state, shardings)
 
-    step_fn = make_train_step(model, cfg, tx, jit=False)
+    # mesh passed through: with use_fused_logits the CE runs as the
+    # shard_mapped fused kernels (per-shard row blocks against the
+    # all-gathered opposite side + cross-shard col-lse merge) — global
+    # in-batch negatives, no [B, B] HBM materialization at any mesh size.
+    step_fn = make_train_step(model, cfg, tx, jit=False, mesh=mesh)
     b_shard = batch_sharding(mesh)
     batch_shardings = jax.tree.map(lambda _: b_shard, example_batch)
     train_step = jax.jit(
@@ -140,11 +137,6 @@ def make_sharded_indexed_train(
         make_indexed_train_step,
     )
 
-    if cfg.loss.use_fused_logits and mesh.size > 1:
-        raise ValueError(
-            "use_fused_logits is single-device; use the XLA loss path under "
-            "a mesh (same guard as make_sharded_train)"
-        )
     n_data = mesh.shape[DATA_AXIS]
     if example_batch.batch_size % max(n_data, 1):
         raise ValueError(
@@ -163,7 +155,9 @@ def make_sharded_indexed_train(
     stack_sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
     store_sh = (rep, rep)
 
-    inner = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=False)
+    inner = make_indexed_train_step(
+        model, cfg, tx, jit=False, with_metrics=False, mesh=mesh
+    )
 
     def scan_fn(st, idx_stack, n_store, c_store):
         def body(carry, idx):
@@ -177,7 +171,9 @@ def make_sharded_indexed_train(
         out_shardings=(shardings, None),
         donate_argnums=(0,),
     )
-    single = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=True)
+    single = make_indexed_train_step(
+        model, cfg, tx, jit=False, with_metrics=True, mesh=mesh
+    )
     single_step = jax.jit(
         single,
         in_shardings=(shardings, idx_sharding, store_sh, store_sh),

@@ -41,19 +41,25 @@ def bidirectional_ce_loss(
     temperature: float = 1.0,
     label_smoothing: float = 0.0,
     use_fused: bool = False,
+    normalized_inputs: bool = False,
 ):
-    """Returns (loss, similarity [B, B]) for aligned positive pairs."""
+    """Returns (loss, similarity [B, B]) for aligned positive pairs.
+
+    ``normalized_inputs``: set True only when BOTH embeddings are
+    L2-normalized (the tower contract, models/tower.py) — it proves the
+    static bound |logits| <= 1/temperature that lets the fused lean kernel
+    drop its max-shift passes (~2x on the VPU-bound forward). With the
+    default False the fused path uses the numerically-shifted kernel, safe
+    for arbitrary (unnormalized) inputs.
+    """
     if use_fused:
         from jodalrob_twotower_tpu.ops.fused_logits import fused_bidirectional_ce
 
         # nondiff custom_vjp args are positional: (temperature, smoothing,
-        # interpret, max_abs_logit). The embeddings here are tower outputs,
-        # which are L2-normalized by construction (models/tower.py), so
-        # |logits| <= 1/temperature — the static bound that lets the lean
-        # forward kernel skip its max-shift passes.
+        # interpret, max_abs_logit)
         loss = fused_bidirectional_ce(
             notice_emb, company_emb, temperature, label_smoothing, False,
-            1.0 / temperature,
+            (1.0 / temperature) if normalized_inputs else None,
         )
         return loss, None
     sim = jnp.dot(notice_emb, company_emb.T, preferred_element_type=jnp.float32) / temperature
@@ -89,6 +95,7 @@ def compute_loss(
     label_smoothing: float = 0.0,
     margin: float = 0.0,
     use_fused: bool = False,
+    normalized_inputs: bool = False,
 ):
     if loss_type == "cross_entropy":
         return bidirectional_ce_loss(
@@ -97,6 +104,7 @@ def compute_loss(
             temperature=temperature,
             label_smoothing=label_smoothing,
             use_fused=use_fused,
+            normalized_inputs=normalized_inputs,
         )
     if loss_type == "cosine_embedding":
         return cosine_embedding_loss(notice_emb, company_emb, margin=margin)

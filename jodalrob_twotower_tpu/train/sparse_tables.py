@@ -12,17 +12,19 @@ with FBGEMM's sparse optimizers; the TPU-native equivalent here:
    no scatter, no dense table gradient;
 3. apply rowwise Adagrad with pure gather/scatter on the touched rows only:
 
-     acc[r]   += mean_d(g², d)          (per occurrence)
-     table[r] -= lr · g / sqrt(acc'[r] + eps)
+     acc[r]   += mean_d(G², d)     with G = Σ_occurrences g  (dedup mode)
+     table[r] -= lr · G / sqrt(acc'[r] + eps)
 
-   Duplicate ids in a batch: the accumulator adds every occurrence's
-   mean-square (so acc matches the dense semantics up to the
-   cross-occurrence terms of (Σg)²) and each occurrence's step uses the
-   post-update accumulator; steps then sum. This per-occurrence variant is
-   the same trade TF's sparse Adagrad makes, and is EXACT whenever a row
-   appears once in the batch — the overwhelmingly common case for large
-   vocabularies. The hermetic tests verify exact equality with the dense
-   path on duplicate-free batches.
+   Duplicate ids in a batch (B=8192 × K ids against even 1.25M-row vocabs
+   makes them statistically certain every step): the default
+   ``sparse_duplicate_handling="exact"`` segment-sums the per-occurrence
+   cotangents per unique row BEFORE the accumulator/table scatter
+   (`segment_sum_duplicates` — fixed-shape sort + segment_sum), making the
+   sparse path equal to the dense path's autodiff-summed gradients and
+   rowwise Adagrad on ANY batch; the hermetic tests assert equality on
+   batches constructed WITH duplicates. ``"per_occurrence"`` keeps the
+   cheaper round-1 variant (TF-sparse-Adagrad's trade), exact only on
+   duplicate-free batches.
 
 Dense (tower) params keep the standard optax pipeline. State is a flat
 pytree — orbax-checkpointable like the standard TrainState.
@@ -134,6 +136,32 @@ def create_sparse_train_state(
     return state, tx
 
 
+def segment_sum_duplicates(rows: jax.Array, grads: jax.Array, sentinel: int):
+    """Exact duplicate handling, jit-stable shapes: sum the per-occurrence
+    cotangents of each unique row.
+
+    Sort rows (carrying grads), mark segment starts, segment-sum into the
+    worst-case [N] slots. Returns (unique_rows [N], summed_grads [N, D])
+    where unused slots hold ``sentinel`` (an out-of-range row the scatters
+    drop) and zero grads. O(N log N) sort + O(N·D) gather/segment ops — no
+    dependence on the table height.
+    """
+    n = rows.shape[0]
+    order = jnp.argsort(rows)
+    rs = jnp.take(rows, order)
+    gs = jnp.take(grads, order, axis=0)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), rs[1:] != rs[:-1]]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # [n], in [0, n_unique)
+    g_sum = jax.ops.segment_sum(
+        gs, seg, num_segments=n, indices_are_sorted=True
+    )
+    # every occurrence of a row writes the SAME value into its segment slot
+    unique_rows = jnp.full((n,), sentinel, rows.dtype).at[seg].set(rs)
+    return unique_rows, g_sum
+
+
 def sparse_rowwise_adagrad_update(
     st: SparseTable,
     rows: jax.Array,  # int32 [N] absolute rows (may contain duplicates)
@@ -141,12 +169,33 @@ def sparse_rowwise_adagrad_update(
     *,
     lr,
     eps: float,
+    dedup: bool = True,
 ) -> SparseTable:
-    """Touched-rows-only rowwise Adagrad (per-occurrence semantics above)."""
+    """Touched-rows-only rowwise Adagrad.
+
+    ``dedup=True`` (default): EXACT dense semantics under duplicate ids —
+    per-occurrence cotangents are segment-summed per unique row first, so
+    acc[r] += mean_d((Σ_occ g)²) and the row steps once by the summed
+    gradient, matching autodiff through the dense table + the dense rowwise
+    Adagrad (train/optimizer.py) bit-for-reduction-order. ``dedup=False``
+    keeps the round-1 per-occurrence variant (each occurrence accumulates
+    and steps separately — TF-sparse-Adagrad's trade), exact only on
+    duplicate-free batches.
+    """
+    if dedup:
+        rows, grads = segment_sum_duplicates(rows, grads, st.table.shape[0])
     gsq = jnp.mean(jnp.square(grads), axis=-1, keepdims=True)  # [N, 1]
-    acc = st.accumulator.at[rows].add(gsq.astype(st.accumulator.dtype))
-    denom = jax.lax.rsqrt(jnp.take(acc, rows, axis=0) + eps)  # post-update acc
-    table = st.table.at[rows].add((-lr * grads * denom).astype(st.table.dtype))
+    # padding slots (dedup): out-of-range rows -> scatter drops them, and
+    # their zero grads make the clip-mode take harmless
+    acc = st.accumulator.at[rows].add(
+        gsq.astype(st.accumulator.dtype), mode="drop"
+    )
+    denom = jax.lax.rsqrt(
+        jnp.take(acc, rows, axis=0, mode="clip") + eps
+    )  # post-update acc
+    table = st.table.at[rows].add(
+        (-lr * grads * denom).astype(st.table.dtype), mode="drop"
+    )
     return SparseTable(table=table, accumulator=acc)
 
 
@@ -160,6 +209,7 @@ def make_sparse_train_step(
     with_metrics: bool = False,
     jit: bool = True,
     defer_table_updates: bool = False,
+    mesh=None,
 ):
     """Indexed train step over device-resident stores with sparse tables.
 
@@ -179,6 +229,10 @@ def make_sparse_train_step(
         emb_lr, total_steps, cfg.optimizer.warmup_ratio
     )
     eps = cfg.optimizer.adagrad_eps
+    dedup = cfg.optimizer.sparse_duplicate_handling == "exact"
+    from jodalrob_twotower_tpu.train.train_step import make_sharded_ce
+
+    sharded_ce = make_sharded_ce(cfg, mesh)
 
     def step_fn(state: SparseTrainState, pair_idx, notice_store, company_store):
         n_dense, n_cat = notice_store
@@ -226,15 +280,20 @@ def make_sparse_train_step(
             else:
                 n_emb, c_emb = out
                 new_bs = state.batch_stats
-            loss, sim = compute_loss(
-                cfg.loss.loss_type,
-                n_emb,
-                c_emb,
-                temperature=cfg.loss.temperature,
-                label_smoothing=cfg.loss.label_smoothing,
-                margin=cfg.loss.cosine_margin,
-                use_fused=cfg.loss.use_fused_logits,
-            )
+            if sharded_ce is not None:
+                loss, sim = sharded_ce(n_emb, c_emb), None
+            else:
+                loss, sim = compute_loss(
+                    cfg.loss.loss_type,
+                    n_emb,
+                    c_emb,
+                    temperature=cfg.loss.temperature,
+                    label_smoothing=cfg.loss.label_smoothing,
+                    margin=cfg.loss.cosine_margin,
+                    use_fused=cfg.loss.use_fused_logits,
+                    # tower outputs are L2-normalized (models/tower.py)
+                    normalized_inputs=True,
+                )
             return loss, (sim, new_bs)
 
         (loss, (sim, new_bs)), (g_dense, g_emb_n, g_emb_c) = jax.value_and_grad(
@@ -254,6 +313,7 @@ def make_sparse_train_step(
                 g_emb_n.reshape(-1, emb_dim).astype(jnp.float32),
                 lr=lr_t,
                 eps=eps,
+                dedup=dedup,
             )
             new_ct = sparse_rowwise_adagrad_update(
                 state.company_table,
@@ -261,6 +321,7 @@ def make_sparse_train_step(
                 g_emb_c.reshape(-1, emb_dim).astype(jnp.float32),
                 lr=lr_t,
                 eps=eps,
+                dedup=dedup,
             )
         new_state = SparseTrainState(
             step=state.step + 1,
@@ -294,11 +355,12 @@ def make_scanned_sparse_steps(
     n_inner: int,
     *,
     donate: bool = True,
+    mesh=None,
 ):
     """n_inner sparse steps per dispatch via lax.scan (mirror of
     train_step.make_scanned_train_steps)."""
     inner = make_sparse_train_step(
-        model, cfg, tx, total_steps, jit=False, with_metrics=False
+        model, cfg, tx, total_steps, jit=False, with_metrics=False, mesh=mesh
     )
 
     def steps_fn(state, pair_idx_stack, notice_store, company_store):
@@ -348,19 +410,21 @@ def deferred_sparse_steps_fn(
     cfg: TrainConfig,
     tx: optax.GradientTransformation,
     total_steps: int,
+    mesh=None,
 ):
     """The unjitted deferred-window scan body (see make_deferred_sparse_steps).
 
     Exposed so parallel/sharded_sparse.py can jit it with mesh shardings."""
     inner = make_sparse_train_step(
         model, cfg, tx, total_steps, jit=False, with_metrics=False,
-        defer_table_updates=True,
+        defer_table_updates=True, mesh=mesh,
     )
     emb_lr = cfg.optimizer.embedding_learning_rate or cfg.optimizer.learning_rate
     emb_schedule = warmup_constant_schedule(
         emb_lr, total_steps, cfg.optimizer.warmup_ratio
     )
     eps = cfg.optimizer.adagrad_eps
+    dedup = cfg.optimizer.sparse_duplicate_handling == "exact"
 
     def steps_fn(state, pair_idx_stack, notice_store, company_store):
         def body(carry, pair_idx):
@@ -374,11 +438,11 @@ def deferred_sparse_steps_fn(
         d = g_n.shape[-1]
         new_nt = sparse_rowwise_adagrad_update(
             state.notice_table, rows_n.reshape(-1), g_n.reshape(-1, d),
-            lr=lr_t, eps=eps,
+            lr=lr_t, eps=eps, dedup=dedup,
         )
         new_ct = sparse_rowwise_adagrad_update(
             state.company_table, rows_c.reshape(-1), g_c.reshape(-1, d),
-            lr=lr_t, eps=eps,
+            lr=lr_t, eps=eps, dedup=dedup,
         )
         state = SparseTrainState(
             step=state.step,

@@ -87,6 +87,35 @@ def dropout_key(model_cfg, rng):
     return jax.random.wrap_key_data(data, impl="rbg")
 
 
+def make_sharded_ce(cfg: TrainConfig, mesh):
+    """The mesh-sharded fused CE loss for a train step, or None when the
+    config/mesh doesn't call for it (single device, fused off, or a
+    non-CE loss). Replaces the round-1 'fused loss is single-device'
+    restriction: the shard_map wrapper keeps O(B·D) HBM traffic and GLOBAL
+    in-batch negatives at any mesh size (ops/fused_logits.py)."""
+    if (
+        mesh is None
+        or not cfg.loss.use_fused_logits
+        or cfg.loss.loss_type != "cross_entropy"
+    ):
+        return None
+    from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS
+
+    if mesh.shape[DATA_AXIS] <= 1:
+        return None
+    from jodalrob_twotower_tpu.ops.fused_logits import make_sharded_fused_ce
+
+    return make_sharded_fused_ce(
+        mesh,
+        DATA_AXIS,
+        temperature=cfg.loss.temperature,
+        label_smoothing=cfg.loss.label_smoothing,
+        # tower outputs are L2-normalized (models/tower.py), proving the
+        # static |logits| <= 1/temperature bound for the lean kernel
+        max_abs_logit=1.0 / cfg.loss.temperature,
+    )
+
+
 def _forward_loss(
     model: TwoTowerModel,
     cfg: TrainConfig,
@@ -96,6 +125,7 @@ def _forward_loss(
     dropout_rng,
     *,
     train: bool,
+    sharded_ce=None,
 ):
     variables = {"params": params}
     if batch_stats:
@@ -114,15 +144,22 @@ def _forward_loss(
     else:
         n_emb, c_emb = out
         new_batch_stats = batch_stats
-    loss, sim = compute_loss(
-        cfg.loss.loss_type,
-        n_emb,
-        c_emb,
-        temperature=cfg.loss.temperature,
-        label_smoothing=cfg.loss.label_smoothing,
-        margin=cfg.loss.cosine_margin,
-        use_fused=cfg.loss.use_fused_logits,
-    )
+    if sharded_ce is not None:
+        loss, sim = sharded_ce(n_emb, c_emb), None
+    else:
+        loss, sim = compute_loss(
+            cfg.loss.loss_type,
+            n_emb,
+            c_emb,
+            temperature=cfg.loss.temperature,
+            label_smoothing=cfg.loss.label_smoothing,
+            margin=cfg.loss.cosine_margin,
+            use_fused=cfg.loss.use_fused_logits,
+            # tower outputs are L2-normalized by construction
+            # (models/tower.py), proving |logits| <= 1/temperature for the
+            # fused lean kernel
+            normalized_inputs=True,
+        )
     return loss, (sim, n_emb, c_emb, new_batch_stats)
 
 
@@ -133,15 +170,22 @@ def make_train_step(
     *,
     donate: bool = True,
     jit: bool = True,
+    mesh=None,
 ) -> Callable[[TrainState, PairBatch], tuple[TrainState, Mapping[str, jax.Array]]]:
-    """Build the fused train step: grads + update + in-batch metrics."""
+    """Build the fused train step: grads + update + in-batch metrics.
+
+    ``mesh``: when given (parallel/sharded_train.py) and the config enables
+    the fused loss, the CE is computed by the shard_mapped fused kernels
+    over the mesh's data axis instead of the GSPMD XLA path."""
+    sharded_ce = make_sharded_ce(cfg, mesh)
 
     def step_fn(state: TrainState, batch: PairBatch):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
             return _forward_loss(
-                model, cfg, params, state.batch_stats, batch, dropout_rng, train=True
+                model, cfg, params, state.batch_stats, batch, dropout_rng,
+                train=True, sharded_ce=sharded_ce,
             )
 
         (loss, (sim, _, _, new_batch_stats)), grads = jax.value_and_grad(
@@ -174,6 +218,7 @@ def make_indexed_train_step(
     donate: bool = True,
     jit: bool = True,
     with_metrics: bool = True,
+    mesh=None,
 ):
     """Train step over DEVICE-RESIDENT feature stores.
 
@@ -195,6 +240,7 @@ def make_indexed_train_step(
     computes them on eval batches (the reference likewise only displayed
     train metrics every 20 steps, scripts/train.py:339-352).
     """
+    sharded_ce = make_sharded_ce(cfg, mesh)
 
     def step_fn(state: TrainState, pair_idx, notice_store, company_store):
         n_dense, n_cat = notice_store
@@ -215,7 +261,8 @@ def make_indexed_train_step(
 
         def loss_fn(params):
             return _forward_loss(
-                model, cfg, params, state.batch_stats, batch, dropout_rng, train=True
+                model, cfg, params, state.batch_stats, batch, dropout_rng,
+                train=True, sharded_ce=sharded_ce,
             )
 
         (loss, (sim, _, _, new_batch_stats)), grads = jax.value_and_grad(
@@ -248,6 +295,7 @@ def make_scanned_train_steps(
     *,
     donate: bool = True,
     with_metrics: bool = False,
+    mesh=None,
 ):
     """Run ``n_inner`` indexed train steps in ONE device dispatch via lax.scan.
 
@@ -257,7 +305,9 @@ def make_scanned_train_steps(
     global step counter, so results are bit-identical to n_inner separate
     calls of the indexed step.
     """
-    inner = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=with_metrics)
+    inner = make_indexed_train_step(
+        model, cfg, tx, jit=False, with_metrics=with_metrics, mesh=mesh
+    )
 
     def steps_fn(state: TrainState, pair_idx_stack, notice_store, company_store):
         def body(carry, pair_idx):
@@ -278,6 +328,7 @@ def make_sampled_train_steps(
     *,
     donate: bool = True,
     with_metrics: bool = False,
+    mesh=None,
 ):
     """``n_inner`` train steps per dispatch with ON-DEVICE batch sampling.
 
@@ -289,7 +340,9 @@ def make_sampled_train_steps(
     fits HBM; `make_scanned_train_steps` remains the host-fed path for
     epoch-exact permutation order or streamed pairs.
     """
-    inner = make_indexed_train_step(model, cfg, tx, jit=False, with_metrics=with_metrics)
+    inner = make_indexed_train_step(
+        model, cfg, tx, jit=False, with_metrics=with_metrics, mesh=mesh
+    )
 
     def steps_fn(state: TrainState, sample_key, pairs_dev, notice_store, company_store):
         n_pairs = pairs_dev.shape[0]

@@ -190,9 +190,19 @@ def test_sharded_deferred_matches_single_device_deferred(setup):
         )
 
 
-def test_fused_logits_guard(setup):
+def test_fused_logits_on_sparse_mesh(setup):
+    """The shard_mapped fused CE runs on the sparse mesh path too (round-1
+    banned it; equality is proven in tests/test_sharded_fused_ce.py)."""
     schema, ds, model, warm = setup
     mesh = make_mesh(jax.devices()[:8])
     cfg = dataclasses.replace(_CFG, loss=LossConfig(use_fused_logits=True))
-    with pytest.raises(ValueError, match="use_fused_logits"):
-        make_sharded_sparse_train(model, cfg, mesh, warm, 10)
+    state, step, put_batch, put_store = make_sharded_sparse_train(
+        model, cfg, mesh, warm, 10
+    )
+    from jodalrob_twotower_tpu.train.train_step import device_store
+
+    n_store = put_store(device_store(ds.notice_store))
+    c_store = put_store(device_store(ds.company_store))
+    idx = put_batch(ds.pairs[: warm.batch_size].astype(np.int32))
+    state, metrics = step(state, idx, n_store, c_store)
+    assert np.isfinite(float(metrics["loss"]))

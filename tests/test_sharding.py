@@ -120,8 +120,11 @@ def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
-def test_fused_logits_rejected_on_mesh(tiny_dataset):
-    """The Pallas loss kernel is single-device; meshes must use the XLA path."""
+def test_fused_logits_runs_on_mesh(tiny_dataset):
+    """Round-1 banned the fused loss under a mesh; the shard_map wrapper
+    (ops/fused_logits.make_sharded_fused_ce) now runs it at any mesh size.
+    Numeric equality with single-device is proven in
+    tests/test_sharded_fused_ce.py; this checks the sharded-train wiring."""
     ds = tiny_dataset
     from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
 
@@ -129,8 +132,9 @@ def test_fused_logits_rejected_on_mesh(tiny_dataset):
     model = TwoTowerModel(ds.schema, cfg.model)
     mesh = make_mesh(jax.devices(), MeshConfig())
     batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
-    with pytest.raises(ValueError, match="single-device"):
-        make_sharded_train(model, cfg, mesh, batch, 10)
+    state, train_step, shard_batch = make_sharded_train(model, cfg, mesh, batch, 10)
+    state, metrics = train_step(state, shard_batch(batch))
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_replicated_embedding_mode(tiny_dataset):

@@ -70,6 +70,91 @@ def test_sparse_adagrad_update_exact_unique():
     np.testing.assert_allclose(float(out.accumulator[0, 0]), 0.1)
 
 
+def test_segment_sum_duplicates():
+    from jodalrob_twotower_tpu.train.sparse_tables import segment_sum_duplicates
+
+    rows = jnp.asarray([5, 3, 5, 5, 9, 3], jnp.int32)
+    g = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    urows, gsum = segment_sum_duplicates(rows, g, sentinel=64)
+    urows, gsum = np.asarray(urows), np.asarray(gsum)
+    got = {int(r): gsum[i].tolist() for i, r in enumerate(urows) if r != 64}
+    assert got == {
+        3: [2 + 10, 3 + 11],
+        5: [0 + 4 + 6, 1 + 5 + 7],
+        9: [8.0, 9.0],
+    }
+    # padding slots: sentinel row, zero grads
+    pad = urows == 64
+    assert pad.sum() == 3 and np.all(gsum[pad] == 0)
+
+
+def test_sparse_adagrad_update_exact_with_duplicates():
+    """dedup=True on a duplicate-heavy batch == the dense rowwise-Adagrad
+    applied to the summed gradient (the dense path's autodiff semantics,
+    reference anchor: nn.Embedding backward, cat_embed.py:156-178)."""
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.integers(0, 16, size=48), jnp.int32)  # heavy dups
+    g = jnp.asarray(rng.normal(size=(48, 4)), jnp.float32)
+    st = SparseTable(
+        table=jnp.asarray(rng.normal(size=(64, 4)), jnp.float32),
+        accumulator=jnp.full((64, 1), 0.1, jnp.float32),
+    )
+    out = sparse_rowwise_adagrad_update(st, rows, g, lr=0.5, eps=1e-10)
+
+    # dense reference: scatter-summed gradient, acc += mean(G^2), one step
+    G = np.zeros((64, 4), np.float32)
+    np.add.at(G, np.asarray(rows), np.asarray(g))
+    acc = 0.1 + (G**2).mean(axis=1, keepdims=True)
+    table = np.asarray(st.table) - 0.5 * G / np.sqrt(acc + 1e-10)
+    np.testing.assert_allclose(np.asarray(out.accumulator), acc, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.table), table, rtol=1e-5, atol=1e-7)
+
+
+def test_sparse_step_matches_dense_step_with_duplicates(tiny_dataset):
+    """Full-step equality on a batch WITH duplicate ids (vocab 50 across a
+    64-row batch guarantees collisions; repeated store rows add more)."""
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    pairs = np.stack(
+        [np.arange(64) % 40, 64 + (np.arange(64) % 48)], axis=1
+    )  # repeated rows on both sides
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, pairs)
+    idx = jnp.asarray(pairs, jnp.int32)
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+    # sanity: the batch really has duplicate absolute rows
+    abs_rows = np.asarray(
+        absolute_rows(ds.schema.notice.vocab_sizes, batch.notice.cat_ids)
+    ).reshape(-1)
+    assert len(np.unique(abs_rows)) < len(abs_rows)
+
+    ref_state, ref_tx = create_train_state(
+        model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100
+    )
+    ref_step = make_indexed_train_step(model, _CFG, ref_tx, donate=False)
+    ref2, ref_metrics = ref_step(ref_state, idx, n_store, c_store)
+
+    sp_state, sp_tx = create_sparse_train_state(
+        model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100
+    )
+    sp_step = make_sparse_train_step(model, _CFG, sp_tx, 100, donate=False)
+    sp2, sp_metrics = sp_step(sp_state, idx, n_store, c_store)
+
+    np.testing.assert_allclose(
+        float(sp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-6
+    )
+    for side, tower in (
+        ("notice_table", "notice_tower"),
+        ("company_table", "company_tower"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp2, side).table),
+            np.asarray(ref2.params[tower]["embeddings"]["table"]),
+            rtol=1e-5,
+            atol=1e-7,
+        )
+
+
 @pytest.fixture(scope="module")
 def unique_id_dataset():
     """Dataset whose categorical ids are all-distinct per feature within any
