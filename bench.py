@@ -109,6 +109,14 @@ def main() -> None:
 
     n_chips = jax.device_count()
     examples_per_sec_per_chip = steps * batch_size / elapsed / n_chips
+    # MFU: model-FLOPs utilization vs the v5e's nominal bf16 peak. This is
+    # deliberately reported NEXT TO the profiler's busy-time utilization
+    # (~99%, BENCHMARKS.md): the step is bandwidth-bound on gathers/optimizer
+    # streaming, so the chip is busy while the MXU runs well under peak —
+    # both numbers are true and they answer different questions
+    # (utils/flops.py docstring; VERDICT r1 item 9).
+    from jodalrob_twotower_tpu.utils.flops import mfu, train_step_model_flops
+
     print(
         json.dumps(
             {
@@ -116,6 +124,10 @@ def main() -> None:
                 "value": round(examples_per_sec_per_chip, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(examples_per_sec_per_chip / BASELINE_EXAMPLES_PER_SEC, 2),
+                "mfu": round(mfu(examples_per_sec_per_chip, schema, cfg, batch_size), 4),
+                "model_gflops_per_step": round(
+                    train_step_model_flops(schema, cfg, batch_size) / 1e9, 1
+                ),
             }
         )
     )

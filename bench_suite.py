@@ -4,6 +4,9 @@
 adds the other BASELINE.json configs as evidence:
 
   train_hostfed                — headline model, host-fed index stream
+  train_hostfed_features       — FULL host feature assembly + H2D streaming
+                                 (names the link-bound floor the index-fed
+                                 design avoids)
   train_scaled                 — BASELINE config 3: 10M-row tables (dim 64),
                                  batch 8192, dense-path rowwise Adagrad
   train_scaled_sparse          — same, O(batch) sparse-table updates
@@ -11,6 +14,8 @@ adds the other BASELINE.json configs as evidence:
   serving_exact                — brute-force MIPS QPS over 100k corpus, k=100
   serving_int8                 — int8 MIPS QPS + recall vs exact
   serving_int8_10m             — BASELINE config 5: 10M-row int8 corpus
+  serving_sharded_mesh         — ShardedIndex on the 8-virtual-device mesh
+  fused_ce_paths               — XLA vs fused vs shard_mapped-fused loss+grads
   corpus_eval                  — corpus recall@k evaluation wall time
 
 Usage: python bench_suite.py [names...]   (default: all)
@@ -146,6 +151,76 @@ def train_scaled(sparse: bool = False, deferred: bool = False) -> None:
         embedding_params=int(2 * table_rows * 64),
         batch=b,
     )
+
+
+def train_hostfed_features(n_batches: int = 24, prefetch: int = 2) -> None:
+    """The FULL host-side feature pipeline at B=8192: BackgroundAssembler
+    gathers feature rows on host threads (native C++ gather), batches are
+    double-buffered onto the device (prefetch_to_device), the step consumes
+    host-assembled PairBatches.
+
+    This names the bottleneck the index-fed design avoids: one flagship
+    feature batch is ~26 MB (notice 797 f32 + company dense + ids), and the
+    tunneled host link sustains ~100 MB/s H2D -> a hard >=0.26 s/step floor
+    REGARDLESS of compute (the 2-3 ms step is 100x smaller). The reference
+    hit the same wall on PCIe at much higher bandwidth (README.md:31-57);
+    the framework's answer is device-resident stores + index feeding
+    (train_hostfed / the headline bench), which ships 64 KB/step instead.
+    Emits measured MB/step and effective H2D MB/s so the floor is a
+    recorded number, not an estimate (VERDICT r1 item 6)."""
+    import jax
+
+    from jodalrob_twotower_tpu.config import LossConfig, ModelConfig, OptimizerConfig, TrainConfig
+    from jodalrob_twotower_tpu.data.pipeline import (
+        BackgroundAssembler,
+        assemble_pair_batch,
+        epoch_batches,
+        prefetch_to_device,
+    )
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.schema import reference_shaped_schema
+    from jodalrob_twotower_tpu.train.train_step import create_train_state, make_train_step
+
+    b = 8192
+    cfg = TrainConfig(model=ModelConfig(),
+                      loss=LossConfig(temperature=1.0, use_fused_logits=True),
+                      optimizer=OptimizerConfig())
+    schema = reference_shaped_schema()
+    ds = make_synthetic_dataset(schema, n_notices=100_000, n_companies=100_000,
+                                n_pairs=400_000, n_clusters=256, seed=0)
+    model = TwoTowerModel(schema, cfg.model)
+    warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 1000)
+    step = make_train_step(model, cfg, tx)
+    state, m = step(state, warm)  # compile
+    float(m["loss"])
+
+    bytes_per_batch = sum(
+        x.nbytes for x in (warm.notice.dense, warm.notice.cat_ids,
+                           warm.company.dense, warm.company.cat_ids)
+    )
+    assembler = BackgroundAssembler(
+        ds.notice_store, ds.company_store,
+        epoch_batches(ds.pairs, b, seed=1),
+        depth=prefetch,
+    )
+    it = prefetch_to_device(iter(assembler), size=prefetch)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        state, m = step(state, batch)
+        n += 1
+        if n >= n_batches:
+            break
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    _emit("train_hostfed_features",
+          examples_per_sec=round(b / dt, 1),
+          step_ms=round(dt * 1e3, 1),
+          mb_per_step=round(bytes_per_batch / 1e6, 1),
+          effective_h2d_mb_s=round(bytes_per_batch / 1e6 / dt, 1),
+          prefetch=prefetch, batch=b)
 
 
 def train_hostfed() -> None:
@@ -365,6 +440,83 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
 
 
+def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0) -> None:
+    """Loss-path comparison ON THE REAL CHIP: XLA [B,B] materializing path
+    vs the single-device fused kernels vs the shard_mapped fused wrapper on
+    a 1-device mesh (same kernels + the degenerate collectives, so the
+    wrapper's overhead is a measured number; multi-chip wall times need
+    hardware this sandbox lacks — the 8-virtual-device equality is proven
+    in tests/test_sharded_fused_ce.py). 16x lax.scan per dispatch, value
+    fetch at the end (measurement rules, CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jodalrob_twotower_tpu.ops.fused_logits import (
+        fused_bidirectional_ce,
+        make_sharded_fused_ce,
+    )
+    from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from jodalrob_twotower_tpu.train.loss import bidirectional_ce_loss
+
+    key = jax.random.PRNGKey(0)
+    n = jax.random.normal(key, (b, d), jnp.float32)
+    n = n / jnp.linalg.norm(n, axis=1, keepdims=True)
+    c = jnp.roll(n, 1, axis=0)
+    mesh1 = make_mesh(jax.devices()[:1])
+    sharded = make_sharded_fused_ce(
+        mesh1, DATA_AXIS, temperature=tau, max_abs_logit=1.0 / tau
+    )
+
+    paths = {
+        "xla": lambda a, bb: bidirectional_ce_loss(a, bb, temperature=tau)[0],
+        "fused": lambda a, bb: fused_bidirectional_ce(a, bb, tau, 0.0, False, 1.0 / tau),
+        "fused_sharded_mesh1": sharded,
+    }
+    n_inner, reps = 16, 6
+    for name, fn in paths.items():
+        def val_and_grads(a, bb, fn=fn):
+            loss, (da, db) = jax.value_and_grad(fn, argnums=(0, 1))(a, bb)
+            return loss + jnp.sum(da[0]) + jnp.sum(db[0])
+
+        @jax.jit
+        def scan16(a, bb, fn=val_and_grads):
+            # carry feeds the next iteration's input: no CSE/LICM of the
+            # identical loss computation across scan steps
+            def body(s, _):
+                return fn(a + s * 1e-12, bb), None
+
+            return jax.lax.scan(body, jnp.float32(0), None, length=n_inner)[0]
+
+        float(scan16(n, c))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = scan16(n, c)
+        float(out)
+        dt = (time.perf_counter() - t0) / (reps * n_inner)
+        _emit(f"fused_ce_{name}", ms_per_loss_plus_grads=round(dt * 1e3, 3), batch=b)
+
+
+def serving_sharded_mesh() -> None:
+    """ShardedIndex regression line on the 8-virtual-CPU-device mesh.
+
+    Runs in a subprocess: this process's backend is pinned to the 1-chip
+    TPU tunnel, and a mesh bench needs 8 devices
+    (scripts/sharded_serving_bench.py prints the JSON lines)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "scripts/sharded_serving_bench.py"],
+        text=True, timeout=1200, env=env, capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    print(proc.stdout, end="", flush=True)
+
+
 def corpus_eval() -> None:
     import jax
 
@@ -389,6 +541,8 @@ def corpus_eval() -> None:
 
 BENCHES = {
     "train_hostfed": train_hostfed,
+    "train_hostfed_features": train_hostfed_features,
+    "train_hostfed_features_pf4": lambda: train_hostfed_features(prefetch=4),
     "train_scaled": train_scaled,
     "train_scaled_sparse": lambda: train_scaled(sparse=True),
     "train_scaled_sparse_deferred": lambda: train_scaled(sparse=True, deferred=True),
@@ -401,6 +555,8 @@ BENCHES = {
     "serving_int8_10m_k10": lambda: serving_10m("int8", k=10),
     "serving_int8_10m_k10_pd4": lambda: serving_10m("int8", k=10, pipeline_depth=4),
     "serving_int8_10m_pd4": lambda: serving_10m("int8", pipeline_depth=4),
+    "serving_sharded_mesh": serving_sharded_mesh,
+    "fused_ce_paths": fused_ce_paths,
     "corpus_eval": corpus_eval,
 }
 

@@ -1,0 +1,229 @@
+"""Executable PostgreSQL write-back of preprocessed tables + text vectors.
+
+Round 1 only BUILT these statements (etl/sql.py); this module EXECUTES the
+reference's round trip so a reference user can land preprocessed features
+back in their PG+pgvector store:
+
+* ``PreprocessedUploader`` — creates ``{table}_preprocessed`` with inferred
+  PG column types, collapses ``{col}_emb000..NNN`` float-column groups into
+  one pgvector ``vector(N)`` column, and bulk-loads every chunk via
+  COPY FROM STDIN (reference preprocess/upload_database.py:64-102,138-266).
+* ``execute_vector_update`` — pgvector DDL + COPY-into-temp + UPDATE-JOIN
+  in one transaction (reference data/database_connector.py:85-131), the
+  execution of etl/sql.py's build_pgvector_ddl/build_vector_update.
+
+Both take any psycopg3-style connection (``conn.cursor()``,
+``cursor.execute``, ``cursor.copy(sql)`` context manager with ``write``,
+``conn.commit``), so the logic is hermetically testable with a fake
+connection and runs unchanged against a real psycopg3 one
+(``DatabaseConnector.pg_connection()`` hands one out when the driver is
+installed).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Mapping, Sequence
+
+import numpy as np
+
+from jodalrob_twotower_tpu.etl.sql import (
+    _quote_ident,
+    build_pgvector_ddl,
+    build_vector_update,
+)
+
+_EMB_RE = re.compile(r"^(?P<base>.+)_emb(?P<idx>\d{3,})$")
+
+
+def infer_pg_type(values: np.ndarray) -> str:
+    """PG column type from a numpy column (reference
+    upload_database.py:138-151 dtype inference): ints -> bigint, floats ->
+    double precision, bools -> boolean, everything else -> text."""
+    if values.dtype == object:
+        non_null = [v for v in values if v is not None]
+        if non_null and all(isinstance(v, bool) for v in non_null):
+            return "boolean"
+        if non_null and all(
+            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+            for v in non_null
+        ):
+            return "bigint"
+        if non_null and all(
+            isinstance(v, (int, float, np.integer, np.floating))
+            and not isinstance(v, bool)
+            for v in non_null
+        ):
+            return "double precision"
+        return "text"
+    if np.issubdtype(values.dtype, np.bool_):
+        return "boolean"
+    if np.issubdtype(values.dtype, np.integer):
+        return "bigint"
+    if np.issubdtype(values.dtype, np.floating):
+        return "double precision"
+    return "text"
+
+
+def collapse_embedding_columns(
+    columns: Sequence[str],
+) -> tuple[list[str], dict[str, int]]:
+    """Split column names into (scalar columns, {base: dims}) by detecting
+    ``{base}_emb000..NNN`` groups (reference upload_database.py:198-232
+    collapses them into ``vector(768)`` columns named ``{base}``)."""
+    groups: dict[str, list[int]] = {}
+    scalars: list[str] = []
+    for c in columns:
+        m = _EMB_RE.match(c)
+        if m:
+            groups.setdefault(m.group("base"), []).append(int(m.group("idx")))
+        else:
+            scalars.append(c)
+    dims = {}
+    for base, idxs in groups.items():
+        idxs.sort()
+        if idxs != list(range(len(idxs))):
+            raise ValueError(
+                f"embedding group {base!r} has non-contiguous indices "
+                f"(have {len(idxs)}, min {idxs[0]}, max {idxs[-1]})"
+            )
+        dims[base] = len(idxs)
+    return scalars, dims
+
+
+def build_create_preprocessed(
+    schema: str,
+    table: str,
+    column_types: Mapping[str, str],
+    vector_dims: Mapping[str, int],
+    *,
+    replace: bool = True,
+) -> list[str]:
+    """DDL for ``{schema}.{table}`` with scalar + vector columns."""
+    cols = [f"{_quote_ident(c)} {t}" for c, t in column_types.items()]
+    cols += [
+        f"{_quote_ident(base)} vector({int(d)})" for base, d in vector_dims.items()
+    ]
+    qualified = f"{_quote_ident(schema)}.{_quote_ident(table)}"
+    stmts = ["CREATE EXTENSION IF NOT EXISTS vector;"] if vector_dims else []
+    if replace:
+        stmts.append(f"DROP TABLE IF EXISTS {qualified};")
+    stmts.append(f"CREATE TABLE IF NOT EXISTS {qualified} ({', '.join(cols)});")
+    return stmts
+
+
+def _csv_field(v) -> str:
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "\\N"
+    if isinstance(v, (bool, np.bool_)):
+        return "t" if v else "f"
+    s = str(v)
+    if any(ch in s for ch in (",", '"', "\n", "\r")):
+        s = '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def vector_literal(vec: Iterable[float]) -> str:
+    """pgvector input literal: '[v1,v2,...]' (database_connector.py:105)."""
+    return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+
+def _chunk_csv(
+    chunk: Mapping[str, np.ndarray],
+    scalar_cols: Sequence[str],
+    vector_dims: Mapping[str, int],
+) -> str:
+    n = len(next(iter(chunk.values())))
+    lines = []
+    for i in range(n):
+        fields = [_csv_field(chunk[c][i]) for c in scalar_cols]
+        for base, d in vector_dims.items():
+            vec = [chunk[f"{base}_emb{j:03d}"][i] for j in range(d)]
+            fields.append('"' + vector_literal(vec) + '"')
+        lines.append(",".join(fields))
+    return "\n".join(lines) + "\n"
+
+
+class PreprocessedUploader:
+    """Chunked COPY upload of a preprocessed table (see module docstring).
+
+    Usage::
+
+        up = PreprocessedUploader(conn, schema="public")
+        for chunk in transform_chunks(...):   # {col: np.ndarray} dicts
+            up.upload_chunk("notice_preprocessed", chunk)
+        up.commit()
+    """
+
+    def __init__(self, conn, *, schema: str = "public", replace: bool = True):
+        self.conn = conn
+        self.schema = schema
+        self.replace = replace
+        self._created: set[str] = set()
+        self._layout: dict[str, tuple[list[str], dict[str, int]]] = {}
+
+    def upload_chunk(self, table: str, chunk: Mapping[str, np.ndarray]) -> int:
+        """First chunk creates (or replaces) the table; every chunk COPYes."""
+        cur = self.conn.cursor()
+        if table not in self._created:
+            scalar_cols, vector_dims = collapse_embedding_columns(list(chunk))
+            types = {c: infer_pg_type(np.asarray(chunk[c])) for c in scalar_cols}
+            for stmt in build_create_preprocessed(
+                self.schema, table, types, vector_dims, replace=self.replace
+            ):
+                cur.execute(stmt)
+            self._created.add(table)
+            self._layout[table] = (scalar_cols, vector_dims)
+        scalar_cols, vector_dims = self._layout[table]
+        cols = ", ".join(
+            _quote_ident(c) for c in [*scalar_cols, *vector_dims.keys()]
+        )
+        copy_sql = (
+            f"COPY {_quote_ident(self.schema)}.{_quote_ident(table)} ({cols}) "
+            "FROM STDIN WITH (FORMAT csv, DELIMITER ',', NULL '\\N', "
+            "QUOTE '\"', ESCAPE '\"')"
+        )
+        payload = _chunk_csv(chunk, scalar_cols, vector_dims)
+        with cur.copy(copy_sql) as copy:
+            copy.write(payload)
+        return payload.count("\n")
+
+    def commit(self) -> None:
+        self.conn.commit()
+
+
+def execute_vector_update(
+    conn,
+    *,
+    schema: str,
+    table: str,
+    pk_cols: Sequence[str],
+    vec_col: str,
+    rows: Iterable[tuple],
+    dims: int,
+    temp_table: str = "tmp_vec",
+    ensure_column: bool = True,
+) -> int:
+    """Bulk vector UPDATE: DDL (optional) + COPY-into-temp + UPDATE-JOIN in
+    one transaction. ``rows`` yields (*pk_values, vector) tuples. Executes
+    the statements etl/sql.py builds (reference
+    database_connector.py:85-131); returns the number of rows streamed."""
+    cur = conn.cursor()
+    if ensure_column:
+        for stmt in build_pgvector_ddl(schema, table, vec_col, dims):
+            cur.execute(stmt)
+    stmts = build_vector_update(
+        schema, table, pk_cols, vec_col, dims, temp_table=temp_table
+    )
+    cur.execute(stmts["create_temp"])
+    n = 0
+    with cur.copy(stmts["copy"]) as copy:
+        for row in rows:
+            *pks, vec = row
+            fields = [_csv_field(p) for p in pks]
+            fields.append('"' + vector_literal(vec) + '"')
+            copy.write(",".join(fields) + "\n")
+            n += 1
+    cur.execute(stmts["update"])
+    conn.commit()
+    return n

@@ -252,6 +252,53 @@ class DatabaseConnector:
                 writer.close()
         return total
 
+    def pg_connection(self):
+        """The underlying psycopg3 connection (for COPY-based write-back:
+        etl/pg_writeback.py). SQLAlchemy's pooled DBAPI connection wraps the
+        driver connection; COPY needs the driver one."""
+        raw = self.engine.raw_connection()
+        return getattr(raw, "driver_connection", raw)
+
+    def upload_preprocessed(
+        self,
+        table: str,
+        chunks: Iterable[Mapping[str, np.ndarray]],
+        *,
+        schema: str = "public",
+        replace: bool = True,
+    ) -> int:
+        """EXECUTE the preprocessed-table write-back: create
+        ``{table}_preprocessed``-style tables with inferred types +
+        collapsed pgvector columns, COPY every chunk (reference
+        upload_database.py:64-102; logic in etl/pg_writeback.py)."""
+        from jodalrob_twotower_tpu.etl.pg_writeback import PreprocessedUploader
+
+        up = PreprocessedUploader(self.pg_connection(), schema=schema, replace=replace)
+        total = 0
+        for chunk in chunks:
+            total += up.upload_chunk(table, chunk)
+        up.commit()
+        return total
+
+    def update_text_vectors(
+        self,
+        *,
+        schema: str,
+        table: str,
+        pk_cols: Sequence[str],
+        vec_col: str,
+        rows: Iterable[tuple],
+        dims: int,
+    ) -> int:
+        """EXECUTE the incremental text-vector UPDATE (reference
+        text_vector_updator.py:34-51 + database_connector.py:94-131)."""
+        from jodalrob_twotower_tpu.etl.pg_writeback import execute_vector_update
+
+        return execute_vector_update(
+            self.pg_connection(), schema=schema, table=table, pk_cols=pk_cols,
+            vec_col=vec_col, rows=rows, dims=dims,
+        )
+
     def export_table_to_parquet_chunks(
         self,
         table: str,

@@ -5,11 +5,26 @@ from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel  # noqa: F401
 
 def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
     """Construct the model with the embedding lookup the config asks for:
-    'replicated'/'gspmd_rows' -> plain gather (XLA or Pallas per flag);
-    'shard_map' -> explicit all-to-all exchange over the mesh."""
+    'replicated' -> plain gather whose BACKWARD is the per-shard dense-vocab
+    kernel + psum when the config's embedding_grad allows it
+    (parallel/sharded_embedding.ShardedDenseGradLookup — replicated tables
+    are the right call for vocab totals up to ~65k rows, a few MB);
+    'gspmd_rows' -> plain gather, XLA chooses the collectives for the
+    row-sharded table; 'shard_map' -> explicit all-to-all exchange."""
     lookup_fn = None
     if mesh is not None and cfg.mesh.embedding_sharding == "shard_map":
         from jodalrob_twotower_tpu.parallel.sharded_embedding import make_sharded_lookup
 
         lookup_fn = make_sharded_lookup(mesh)
+    elif (
+        mesh is not None
+        and mesh.size > 1
+        and cfg.mesh.embedding_sharding == "replicated"
+        and cfg.model.embedding_grad in ("auto", "dense")
+    ):
+        from jodalrob_twotower_tpu.parallel.sharded_embedding import (
+            ShardedDenseGradLookup,
+        )
+
+        lookup_fn = ShardedDenseGradLookup(mesh)
     return TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup, lookup_fn)

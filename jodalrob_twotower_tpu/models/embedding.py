@@ -98,7 +98,20 @@ class EmbeddingCollection(nn.Module):
         ids = jnp.clip(cat_ids, 0, self._vocabs[None, :] - 1)
         rows = ids + self._offsets[None, :]
         if self.lookup_fn is not None:
-            emb = self.lookup_fn(self.table, rows)
+            if getattr(self.lookup_fn, "needs_layout", False):
+                # layout-aware lookups (parallel/sharded_embedding.py
+                # ShardedDenseGradLookup) get the unified-table geometry so
+                # their backward can run the dense-vocab kernel per shard
+                emb = self.lookup_fn(
+                    self.table,
+                    rows,
+                    total_rows=self._total_rows,
+                    tile_feature=tuple(
+                        tile_feature_map(self.vocab_sizes).tolist()
+                    ),
+                )
+            else:
+                emb = self.lookup_fn(self.table, rows)
         elif self._dense_grad_active():
             from jodalrob_twotower_tpu.ops.embedding_grad import make_dense_grad_lookup
 
@@ -122,9 +135,12 @@ class EmbeddingCollection(nn.Module):
         if self.grad_mode == "scatter":
             return False
         # auto: the Pallas backward runs on single-device TPU backends with
-        # small-enough tables; the scatter transpose stays for CPU tests,
-        # huge tables, and sharded tables (a custom call cannot be
-        # partitioned by GSPMD).
+        # small-enough tables; the scatter transpose stays for CPU tests and
+        # huge tables. Meshes don't reach this gate: build_model installs
+        # the shard_map dense-grad lookup_fn for replicated tables
+        # (parallel/sharded_embedding.ShardedDenseGradLookup), which is how
+        # the kernel survives sharding — GSPMD itself cannot partition the
+        # custom call.
         return (
             jax.default_backend() not in ("cpu",)
             and jax.device_count() == 1

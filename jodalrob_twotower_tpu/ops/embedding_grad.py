@@ -32,11 +32,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_ROWS = 128
-_B_CHUNK = 8192  # batch chunk per MXU pass; bounds VMEM for the mask tile
+_B_CHUNK = 8192  # max batch chunk per MXU pass; bounds VMEM for the mask tile
 
 
+def _batch_chunk(b: int) -> int:
+    """Per-pass chunk: full 8192 for headline batches, the 128-aligned
+    ceiling for smaller ones (per-shard batches under a mesh — padding a
+    1024-row shard to 8192 would 8x the kernel's MXU streaming)."""
+    return min(_B_CHUNK, -(-b // TILE_ROWS) * TILE_ROWS)
 
-def _grad_kernel(transposed: bool):
+
+def _grad_kernel(transposed: bool, chunk: int):
     """Kernel factory; one program = one 128-row tile of the table gradient.
 
     Shared args:
@@ -69,24 +75,24 @@ def _grad_kernel(transposed: bool):
         # in-kernel relayouts
         tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
 
-        n_chunks = b // _B_CHUNK  # caller pads B to a chunk multiple
+        n_chunks = b // chunk  # caller pads B to a chunk multiple
 
         def body(i, acc):
-            lo = i * _B_CHUNK
-            ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, _B_CHUNK)]  # [1, C]
+            lo = i * chunk
+            ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, chunk)]  # [1, C]
             # bf16 operands: the one-hot is exact in bf16 and the grad
             # rounding (~1e-2 relative) is standard for embedding grads; f32
             # here costs 4x on the MXU
             onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
             if transposed:
-                g = g_ref[0, :, pl.ds(lo, _B_CHUNK)].astype(jnp.bfloat16)  # [D, C]
+                g = g_ref[0, :, pl.ds(lo, chunk)].astype(jnp.bfloat16)  # [D, C]
                 return acc + jax.lax.dot_general(
                     g,
                     onehot_t,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            g = g_ref[0, pl.ds(lo, _B_CHUNK), :].astype(jnp.bfloat16)  # [C, D]
+            g = g_ref[0, pl.ds(lo, chunk), :].astype(jnp.bfloat16)  # [C, D]
             return acc + jnp.dot(onehot_t, g, preferred_element_type=jnp.float32)
 
         shape = (d, TILE_ROWS) if transposed else (TILE_ROWS, d)
@@ -95,8 +101,9 @@ def _grad_kernel(transposed: bool):
     return kernel
 
 
-_KERNEL_STD = _grad_kernel(transposed=False)
-_KERNEL_T = _grad_kernel(transposed=True)
+@functools.lru_cache(maxsize=None)
+def _get_kernel(transposed: bool, chunk: int):
+    return _grad_kernel(transposed, chunk)
 
 
 @functools.partial(
@@ -118,7 +125,8 @@ def _dense_table_grad(
     assert len(tile_feature) == n_tiles
 
     # pad batch to the chunk size with ids that hit no tile (-1)
-    pad = (-b) % _B_CHUNK
+    chunk = _batch_chunk(b)
+    pad = (-b) % chunk
     if pad:
         rows = jnp.concatenate([rows, jnp.full((pad, k), -1, jnp.int32)])
         g = jnp.concatenate([g, jnp.zeros((pad, k, d), g.dtype)])
@@ -149,7 +157,7 @@ def _dense_table_grad(
         out_specs=pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _KERNEL_T if transposed else _KERNEL_STD,
+        _get_kernel(transposed, chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,

@@ -36,6 +36,95 @@ from jax import shard_map
 from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS
 
 
+class ShardedDenseGradLookup:
+    """Embedding lookup for REPLICATED tables on a mesh whose backward runs
+    the dense-vocab one-hot-matmul Pallas kernel per shard + one psum.
+
+    GSPMD cannot partition a Pallas custom call, so round 1 gated the
+    dense-grad kernel to ``jax.device_count() == 1`` (models/embedding.py)
+    and any sharded program re-inherited XLA's sort-based scatter (~11 ms at
+    B=8192, K=32, 33k rows — the cost the kernel bought 2.1x whole-step to
+    remove, ops/embedding_grad.py). Here the backward is an explicit
+    shard_map: each shard runs the kernel over ITS batch shard's cotangents
+    against the full table layout (the table is replicated — the flagship
+    unified tables are ~4 MB, far cheaper to replicate than to exchange rows
+    per step) and one psum sums the [R, D] partials. Total MXU work equals
+    the single-device kernel, distributed over shards; the wire cost is one
+    [R, D] f32 all-reduce.
+
+    The custom VJP wraps the shard_map (not vice versa) so autodiff never
+    transposes a shard_map — same structure as
+    ops/fused_logits.make_sharded_fused_ce and for the same reason.
+
+    ``EmbeddingCollection`` detects ``needs_layout`` and calls with the
+    unified-table layout; tables above ``max_rows`` (where the dense
+    gradient loses to the scatter) fall back to the plain gather.
+    """
+
+    needs_layout = True
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        axis: str = DATA_AXIS,
+        *,
+        interpret: bool | None = None,
+        max_rows: int = 1 << 16,
+    ) -> None:
+        self.mesh = mesh
+        self.axis = axis
+        self.interpret = (
+            (jax.default_backend() != "tpu") if interpret is None else interpret
+        )
+        self.max_rows = max_rows
+        self._cache: dict = {}
+
+    def __call__(self, table, rows, *, total_rows: int, tile_feature: tuple):
+        if total_rows > self.max_rows:
+            return jnp.take(table, rows, axis=0)  # XLA scatter backward
+        key = (total_rows, tile_feature)
+        if key not in self._cache:
+            self._cache[key] = self._build(total_rows, tile_feature)
+        return self._cache[key](table, rows)
+
+    def _build(self, total_rows: int, tile_feature: tuple):
+        from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_grad_t
+
+        axis, interpret = self.axis, self.interpret
+
+        def bwd_local(rows_l, ct_l):
+            # transposed-output kernel (N-axis rides the 128-row tile) +
+            # transpose back, then sum shard partials — each shard saw only
+            # its batch rows
+            dt = dense_table_grad_t(
+                rows_l, ct_l, total_rows=total_rows,
+                tile_feature=tile_feature, interpret=interpret,
+            ).T
+            return jax.lax.psum(dt, axis)
+
+        bwd_sm = shard_map(
+            bwd_local,
+            mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None, None)),
+            out_specs=P(),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
+        )
+
+        @jax.custom_vjp
+        def lookup(table, rows):
+            return jnp.take(table, rows, axis=0)
+
+        def fwd(table, rows):
+            return jnp.take(table, rows, axis=0), rows
+
+        def bwd(rows, ct):
+            # take() preserves dtype, so the cotangent dtype is the table's
+            return bwd_sm(rows, ct).astype(ct.dtype), None
+
+        lookup.defvjp(fwd, bwd)
+        return lookup
+
+
 def make_sharded_lookup(mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
     """Build lookup(table [R, D], rows int32 [B, K]) -> [B, K, D].
 

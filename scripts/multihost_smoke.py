@@ -100,9 +100,25 @@ def worker(process_id: int, num_processes: int) -> None:
         losses.append(float(metrics["loss"]))
     table = state.params["notice_tower"]["embeddings"]["table"]
     local_rows = sum(s.data.shape[0] for s in table.addressable_shards)
+
+    # the shard_mapped FUSED CE (all_gather + col-lse merge + psum_scatter)
+    # across PROCESSES: one fused step must equal the XLA step's first loss
+    import dataclasses
+
+    cfg_f = cfg.replace(loss=dataclasses.replace(cfg.loss, use_fused_logits=True))
+    state_f, step_f, _ = make_sharded_train(model, cfg_f, mesh, example, total_steps=10)
+    first_local = assemble_pair_batch(
+        ds.notice_store, ds.company_store, my_pairs[:local_b]
+    )
+    gbatch_f = host_local_batch_to_global(mesh, P(DATA_AXIS), first_local)
+    _, metrics_f = step_f(state_f, gbatch_f)
+    fused_loss = float(metrics_f["loss"])
+
     print(json.dumps({
         "process": idx, "processes": count, "global_devices": n_global,
         "losses": [round(l, 6) for l in losses],
+        "fused_loss": round(fused_loss, 6),
+        "fused_matches_xla": bool(abs(fused_loss - losses[0]) < 1e-3),
         "table_rows_global": table.shape[0],
         "table_rows_on_this_host": int(local_rows),
     }), flush=True)
@@ -127,6 +143,8 @@ def main() -> int:
     # every process must see the same global losses
     assert outs[0]["losses"] == outs[1]["losses"], outs
     assert outs[0]["global_devices"] == n * LOCAL_DEVICES
+    # the shard_mapped fused CE agreed with the XLA loss on both processes
+    assert all(o["fused_matches_xla"] for o in outs), outs
     # tables row-sharded: each host holds half the rows
     assert outs[0]["table_rows_on_this_host"] * n == outs[0]["table_rows_global"]
     print(json.dumps({"bench": "multihost_smoke", "ok": True, **outs[0]}))

@@ -26,3 +26,5 @@ def test_multihost_smoke():
     assert out["processes"] == 2 and out["global_devices"] == 8
     assert out["table_rows_on_this_host"] * 2 == out["table_rows_global"]
     assert out["losses"][-1] < out["losses"][0]
+    # the shard_mapped fused CE ran across processes and matched XLA
+    assert out["fused_matches_xla"] is True

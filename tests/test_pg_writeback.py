@@ -1,0 +1,155 @@
+"""Executed PG write-back against a fake psycopg3-style connection.
+
+VERDICT r1's one 'partial' capability row: round 1 built the write-back SQL
+(etl/sql.py) but never executed it. etl/pg_writeback.py executes it; these
+tests drive the full create + COPY + vector UPDATE flow through a recording
+fake connection and assert the statement sequence, the COPY payloads
+(CSV framing, \\N nulls, pgvector '[...]' literals) and the transaction
+boundary — reference behavior: preprocess/upload_database.py:64-266 and
+data/database_connector.py:85-131.
+"""
+
+import numpy as np
+import pytest
+
+from jodalrob_twotower_tpu.etl.pg_writeback import (
+    PreprocessedUploader,
+    build_create_preprocessed,
+    collapse_embedding_columns,
+    execute_vector_update,
+    infer_pg_type,
+    vector_literal,
+)
+
+
+class FakeCopy:
+    def __init__(self, sink):
+        self.sink = sink
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def write(self, data):
+        self.sink.append(data)
+
+
+class FakeCursor:
+    def __init__(self, log):
+        self.log = log
+
+    def execute(self, sql, params=None):
+        self.log.append(("execute", sql))
+
+    def copy(self, sql):
+        payload = []
+        self.log.append(("copy", sql, payload))
+        return FakeCopy(payload)
+
+
+class FakeConn:
+    def __init__(self):
+        self.log = []
+        self.commits = 0
+
+    def cursor(self):
+        return FakeCursor(self.log)
+
+    def commit(self):
+        self.commits += 1
+        self.log.append(("commit",))
+
+
+def test_infer_pg_type():
+    assert infer_pg_type(np.asarray([1, 2, 3])) == "bigint"
+    assert infer_pg_type(np.asarray([1.5, 2.0])) == "double precision"
+    assert infer_pg_type(np.asarray([True, False])) == "boolean"
+    assert infer_pg_type(np.asarray(["a", "b"], object)) == "text"
+    assert infer_pg_type(np.asarray([1, None, 3], object)) == "bigint"
+    assert infer_pg_type(np.asarray([1, 2.5], object)) == "double precision"
+
+
+def test_collapse_embedding_columns():
+    cols = ["pk", "x", "title_emb000", "title_emb001", "title_emb002"]
+    scalars, dims = collapse_embedding_columns(cols)
+    assert scalars == ["pk", "x"]
+    assert dims == {"title": 3}
+    with pytest.raises(ValueError, match="non-contiguous"):
+        collapse_embedding_columns(["t_emb000", "t_emb002"])
+
+
+def test_build_create_preprocessed_ddl():
+    stmts = build_create_preprocessed(
+        "public", "notice_preprocessed", {"pk": "text", "v": "double precision"},
+        {"title": 768},
+    )
+    assert stmts[0] == "CREATE EXTENSION IF NOT EXISTS vector;"
+    assert 'DROP TABLE IF EXISTS "public"."notice_preprocessed";' in stmts
+    assert '"title" vector(768)' in stmts[-1]
+    # no vector cols -> no extension statement
+    assert build_create_preprocessed("s", "t", {"a": "bigint"}, {})[0].startswith(
+        "DROP"
+    )
+
+
+def test_uploader_create_and_copy_flow():
+    conn = FakeConn()
+    up = PreprocessedUploader(conn, schema="public")
+    chunk = {
+        "pk": np.asarray(["a", "b,c", None], object),
+        "score": np.asarray([1.0, float("nan"), 3.5]),
+        "title_emb000": np.asarray([0.1, 0.2, 0.3], np.float32),
+        "title_emb001": np.asarray([1.0, 2.0, 3.0], np.float32),
+    }
+    n = up.upload_chunk("notice_preprocessed", chunk)
+    assert n == 3
+    # second chunk: no DDL again, just COPY
+    up.upload_chunk("notice_preprocessed", chunk)
+    up.commit()
+
+    executes = [s for e, *rest in conn.log if e == "execute" for s in rest]
+    copies = [entry for entry in conn.log if entry[0] == "copy"]
+    assert any("CREATE EXTENSION" in s for s in executes)
+    assert any("CREATE TABLE" in s and "vector(2)" in s for s in executes)
+    assert len([s for s in executes if "CREATE TABLE" in s]) == 1
+    assert len(copies) == 2
+    copy_sql = copies[0][1]
+    assert '"pk", "score", "title"' in copy_sql and "FROM STDIN" in copy_sql
+    payload = "".join(copies[0][2])
+    lines = payload.strip().split("\n")
+    assert lines[0] == 'a,1.0,"[0.1,1.0]"'.replace("0.1", repr(float(np.float32(0.1))))
+    # quoted comma field, nulls as \N (both the text None and the float nan)
+    assert lines[1].startswith('"b,c",\\N,')
+    assert lines[2].startswith("\\N,3.5,")
+    assert conn.commits == 1
+
+
+def test_execute_vector_update_flow():
+    conn = FakeConn()
+    rows = [("n1", "01", [0.5, 0.25]), ("n2", "01", [1.0, 2.0])]
+    n = execute_vector_update(
+        conn, schema="public", table="notice", pk_cols=("bidntceno", "bidntceord"),
+        vec_col="bidntcenm_vec", rows=rows, dims=2,
+    )
+    assert n == 2
+    executes = [s for e, *rest in conn.log if e == "execute" for s in rest]
+    assert executes[0] == "CREATE EXTENSION IF NOT EXISTS vector;"
+    assert any("ADD COLUMN IF NOT EXISTS" in s for s in executes)
+    assert any(s.startswith("CREATE TEMP TABLE") for s in executes)
+    update = [s for s in executes if s.startswith("UPDATE")]
+    assert update and 't."bidntceno" = s."bidntceno"' in update[0]
+    copies = [entry for entry in conn.log if entry[0] == "copy"]
+    payload = "".join(copies[0][2])
+    assert payload.splitlines()[0] == 'n1,01,"[0.5,0.25]"'
+    # transaction committed AFTER the update
+    assert conn.log[-1] == ("commit",)
+    assert conn.log[-2][1].startswith("UPDATE")
+
+
+def test_vector_literal_roundtrip_precision():
+    v = np.asarray([0.1, -2.5e-7, 3.0], np.float32)
+    lit = vector_literal(v)
+    parsed = np.asarray([float(x) for x in lit[1:-1].split(",")], np.float32)
+    np.testing.assert_array_equal(parsed, v)  # repr round-trips exactly

@@ -70,6 +70,109 @@ def test_lookup_shape_validation(mesh):
         lookup(jnp.zeros((128, 8)), jnp.zeros((3, 2), jnp.int32))  # batch 3
 
 
+def test_sharded_dense_grad_lookup_matches_take_grad(mesh, rng):
+    """ShardedDenseGradLookup: forward == take, backward == the exact
+    scatter-add table gradient (the dense-vocab kernel per shard + psum)."""
+    from jodalrob_twotower_tpu.models.embedding import tile_feature_map
+    from jodalrob_twotower_tpu.parallel.sharded_embedding import (
+        ShardedDenseGradLookup,
+    )
+
+    vocabs = (100, 250)
+    tf = tuple(tile_feature_map(vocabs).tolist())
+    r, d, b = 384, 8, 32  # two features padded to 128 + 256 rows
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    rows = jnp.asarray(
+        np.stack(
+            [rng.integers(0, 100, size=b), 128 + rng.integers(0, 250, size=b)],
+            axis=1,
+        ).astype(np.int32)
+    )
+    lookup = ShardedDenseGradLookup(mesh, interpret=True)
+
+    def loss_sharded(t):
+        return jnp.sum(lookup(t, rows, total_rows=r, tile_feature=tf) ** 2)
+
+    def loss_ref(t):
+        return jnp.sum(jnp.take(t, rows, axis=0) ** 2)
+
+    out = lookup(table, rows, total_rows=r, tile_feature=tf)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.take(table, rows, axis=0)), rtol=1e-6
+    )
+    g_s = jax.jit(jax.grad(loss_sharded))(table)
+    g_r = jax.grad(loss_ref)(table)
+    # the kernel contracts in bf16 (~1e-2 relative — ops/embedding_grad.py)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r), rtol=1e-2, atol=1e-4)
+    # untouched rows must be exactly zero in both
+    touched = np.zeros(r, bool)
+    touched[np.asarray(rows).reshape(-1)] = True
+    assert np.all(np.asarray(g_s)[~touched] == 0)
+    # rows above max_rows fall back to the plain gather
+    small = ShardedDenseGradLookup(mesh, interpret=True, max_rows=8)
+    np.testing.assert_allclose(
+        np.asarray(small(table, rows, total_rows=r, tile_feature=tf)),
+        np.asarray(out),
+    )
+
+
+def test_replicated_dense_grad_train_step_matches_scatter(tiny_dataset, mesh):
+    """Sharded train step with embedding_sharding='replicated' (dense-grad
+    kernel backward via shard_map) == the single-device scatter step."""
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8,
+            dense_projection_dim=16,
+            tower_hidden_dims=(32, 16),
+            final_embedding_dim=8,
+            dropout_rate=0.0,
+            use_batch_norm=False,
+            compute_dtype="float32",
+            embedding_grad="dense",
+        ),
+        loss=LossConfig(temperature=0.2),
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        mesh=MeshConfig(embedding_sharding="replicated"),
+    )
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
+
+    model_dg = build_model(ds.schema, cfg, mesh)
+    from jodalrob_twotower_tpu.parallel.sharded_embedding import (
+        ShardedDenseGradLookup,
+    )
+
+    assert isinstance(model_dg.lookup_fn, ShardedDenseGradLookup)
+    state_dg, step_dg, shard_batch = make_sharded_train(model_dg, cfg, mesh, batch, 100)
+    table = state_dg.params["notice_tower"]["embeddings"]["table"]
+    assert table.sharding.is_fully_replicated
+    s1, m1 = step_dg(state_dg, shard_batch(batch))
+
+    import dataclasses
+
+    ref_cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, embedding_grad="scatter"),
+        mesh=MeshConfig(),
+    )
+    model_ref = build_model(ds.schema, ref_cfg, None)
+    state_ref, tx = create_train_state(
+        model_ref, ref_cfg, jax.random.PRNGKey(cfg.seed), batch, 100
+    )
+    step_ref = make_train_step(model_ref, ref_cfg, tx, donate=False)
+    s2, m2 = step_ref(state_ref, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # the table update came through the kernel path: compare post-step tables
+    np.testing.assert_allclose(
+        np.asarray(s1.params["notice_tower"]["embeddings"]["table"]),
+        np.asarray(s2.params["notice_tower"]["embeddings"]["table"]),
+        rtol=2e-3,
+        atol=2e-5,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
 def test_shard_map_train_step_matches_gspmd(tiny_dataset, mesh):
     """Full train step with the explicit exchange == GSPMD auto-sharded step."""
     ds = tiny_dataset
