@@ -34,12 +34,17 @@ def _emit(name: str, **fields) -> None:
     print(json.dumps({"bench": name, **fields}), flush=True)
 
 
-def train_scaled(sparse: bool = False, deferred: bool = False) -> None:
+def train_scaled(sparse: bool = False, deferred: bool = False,
+                 dedup: str = "exact") -> None:
     """Scaled tables: 8 features x 1.25M vocab = 10M rows, dim 64.
 
     ``deferred``: sparse path with one batched table update per 8-step scan
     window (train/sparse_tables.py make_deferred_sparse_steps) — amortizes
-    the scatter that dominates the per-step sparse step."""
+    the scatter that dominates the per-step sparse step. ``dedup``:
+    sparse_duplicate_handling — "exact" (default semantics) pays a
+    segment-sum pass over the window's cotangents; "per_occurrence" skips
+    it (exact only on duplicate-free batches; at 10M-row vocabs ~1.7% of a
+    window's ids collide)."""
     import jax
 
     from jodalrob_twotower_tpu.config import (
@@ -77,7 +82,8 @@ def train_scaled(sparse: bool = False, deferred: bool = False) -> None:
         model=ModelConfig(categorical_embedding_dim=64, dense_projection_dim=128,
                           tower_hidden_dims=(512, 256), final_embedding_dim=128),
         loss=LossConfig(use_fused_logits=True),
-        optimizer=OptimizerConfig(),  # rowwise adagrad on the tables
+        # rowwise adagrad on the tables; dedup per the bench variant
+        optimizer=OptimizerConfig(sparse_duplicate_handling=dedup),
     )
     b = 8192
     n_rows = 200_000
@@ -116,10 +122,12 @@ def train_scaled(sparse: bool = False, deferred: bool = False) -> None:
             float(m["loss"][-1])
             dt = (time.perf_counter() - t0) / (n_disp * W)
             _emit(
-                "train_scaled_sparse_deferred",
+                "train_scaled_sparse_deferred"
+                + ("" if dedup == "exact" else f"_{dedup}"),
                 examples_per_sec=round(b / dt, 1),
                 step_ms=round(dt * 1e3, 2),
                 window=W,
+                dedup=dedup,
                 table_rows_per_tower=int(table_rows),
                 embedding_params=int(2 * table_rows * 64),
                 batch=b,
@@ -546,6 +554,8 @@ BENCHES = {
     "train_scaled": train_scaled,
     "train_scaled_sparse": lambda: train_scaled(sparse=True),
     "train_scaled_sparse_deferred": lambda: train_scaled(sparse=True, deferred=True),
+    "train_scaled_sparse_deferred_peroc": lambda: train_scaled(
+        sparse=True, deferred=True, dedup="per_occurrence"),
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),
     "serving_int8_10m": lambda: serving_10m("int8"),

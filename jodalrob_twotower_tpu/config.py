@@ -153,12 +153,29 @@ class MeshConfig:
     # Axis sizes; -1 on the data axis means "all remaining devices".
     data_axis: int = -1
     model_axis: int = 1
-    # Embedding-table sharding: "replicated", "gspmd_rows" (NamedSharding on
-    # rows, XLA inserts collectives), or "shard_map" (explicit all-gather ids
-    # + psum_scatter rows over the data axis).
-    embedding_sharding: str = "gspmd_rows"
+    # Embedding-table sharding under a mesh:
+    #   "auto" (default)  — "replicated" when both towers' unified tables fit
+    #                       the dense-grad kernel envelope (<= 65k rows each:
+    #                       a few MB, cheaper to replicate than to exchange
+    #                       rows per step, and the backward stays the one-hot
+    #                       matmul kernel instead of XLA's sort-scatter),
+    #                       else "gspmd_rows" (resolve_embedding_sharding).
+    #   "replicated"      — tables replicated; dense-grad kernel backward via
+    #                       shard_map when embedding_grad allows.
+    #   "gspmd_rows"      — NamedSharding on rows, XLA inserts collectives.
+    #   "shard_map"       — explicit all-gather ids + psum_scatter rows.
+    embedding_sharding: str = "auto"
     # Use the Pallas gather kernel for embedding lookup on TPU.
     use_pallas_lookup: bool = False
+
+    def __post_init__(self) -> None:
+        if self.embedding_sharding not in (
+            "auto", "replicated", "gspmd_rows", "shard_map"
+        ):
+            raise ValueError(
+                "embedding_sharding must be one of 'auto', 'replicated', "
+                f"'gspmd_rows', 'shard_map'; got {self.embedding_sharding!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,28 +67,31 @@ def infer_pg_type(values: np.ndarray) -> str:
 
 def collapse_embedding_columns(
     columns: Sequence[str],
-) -> tuple[list[str], dict[str, int]]:
-    """Split column names into (scalar columns, {base: dims}) by detecting
-    ``{base}_emb000..NNN`` groups (reference upload_database.py:198-232
-    collapses them into ``vector(768)`` columns named ``{base}``)."""
-    groups: dict[str, list[int]] = {}
+) -> tuple[list[str], dict[str, tuple[str, ...]]]:
+    """Split column names into (scalar columns, {base: ordered column
+    names}) by detecting ``{base}_emb000..NNN`` groups (reference
+    upload_database.py:198-232 collapses them into ``vector(768)`` columns
+    named ``{base}``). Group values carry the ACTUAL column names (any
+    zero-padding width) in index order; the vector dim is their length."""
+    groups: dict[str, list[tuple[int, str]]] = {}
     scalars: list[str] = []
     for c in columns:
         m = _EMB_RE.match(c)
         if m:
-            groups.setdefault(m.group("base"), []).append(int(m.group("idx")))
+            groups.setdefault(m.group("base"), []).append((int(m.group("idx")), c))
         else:
             scalars.append(c)
-    dims = {}
-    for base, idxs in groups.items():
-        idxs.sort()
+    out = {}
+    for base, pairs in groups.items():
+        pairs.sort()
+        idxs = [i for i, _ in pairs]
         if idxs != list(range(len(idxs))):
             raise ValueError(
                 f"embedding group {base!r} has non-contiguous indices "
                 f"(have {len(idxs)}, min {idxs[0]}, max {idxs[-1]})"
             )
-        dims[base] = len(idxs)
-    return scalars, dims
+        out[base] = tuple(name for _, name in pairs)
+    return scalars, out
 
 
 def build_create_preprocessed(
@@ -113,7 +116,9 @@ def build_create_preprocessed(
 
 
 def _csv_field(v) -> str:
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    # np.floating included: ETL chunks are float32 and an f32 NaN must land
+    # as NULL exactly like an f64 one
+    if v is None or (isinstance(v, (float, np.floating)) and np.isnan(v)):
         return "\\N"
     if isinstance(v, (bool, np.bool_)):
         return "t" if v else "f"
@@ -128,19 +133,54 @@ def vector_literal(vec: Iterable[float]) -> str:
     return "[" + ",".join(repr(float(x)) for x in vec) + "]"
 
 
+def _chunk_layout(chunk: Mapping[str, np.ndarray]):
+    """(scalar_cols, emb_groups {base: ordered col names}, array_cols
+    {name: dims}).
+
+    Vector columns arrive in either shape: the reference's wide
+    ``{base}_emb000..NNN`` scalar groups (upload_database.py:198-232) or
+    this framework's native 2-D ``[N, D]`` blocks (etl/pipeline.py stores
+    embeddings as fixed-size-list parquet columns)."""
+    names = list(chunk)
+    array_cols = {
+        c: int(chunk[c].shape[1])
+        for c in names
+        if getattr(chunk[c], "ndim", 1) == 2
+    }
+    scalar_cols, emb_groups = collapse_embedding_columns(
+        [c for c in names if c not in array_cols]
+    )
+    overlap = set(emb_groups) & set(array_cols)
+    if overlap:
+        raise ValueError(f"columns are both emb-group and 2-D array: {overlap}")
+    return scalar_cols, emb_groups, array_cols
+
+
+def _block_literals(block: np.ndarray) -> list[str]:
+    """Per-row quoted pgvector literals for a [N, D] float block, formatted
+    columnar in C (%.9g round-trips float32 exactly) instead of a Python
+    loop per element — chunks are 50k rows x 768 dims."""
+    strs = np.char.mod("%.9g", block.astype(np.float64))
+    return ['"[' + ",".join(row) + ']"' for row in strs]
+
+
 def _chunk_csv(
     chunk: Mapping[str, np.ndarray],
     scalar_cols: Sequence[str],
-    vector_dims: Mapping[str, int],
+    emb_groups: Mapping[str, Sequence[str]],
+    array_cols: Mapping[str, int],
 ) -> str:
     n = len(next(iter(chunk.values())))
-    lines = []
-    for i in range(n):
-        fields = [_csv_field(chunk[c][i]) for c in scalar_cols]
-        for base, d in vector_dims.items():
-            vec = [chunk[f"{base}_emb{j:03d}"][i] for j in range(d)]
-            fields.append('"' + vector_literal(vec) + '"')
-        lines.append(",".join(fields))
+    columns: list[list[str]] = [
+        [_csv_field(v) for v in chunk[c]] for c in scalar_cols
+    ]
+    for base, group_cols in emb_groups.items():
+        block = np.column_stack([chunk[c] for c in group_cols])
+        columns.append(_block_literals(block))
+    for name in array_cols:
+        columns.append(_block_literals(np.asarray(chunk[name])))
+    lines = [",".join(fields) for fields in zip(*columns)] if columns else []
+    assert len(lines) == n
     return "\n".join(lines) + "\n"
 
 
@@ -165,25 +205,31 @@ class PreprocessedUploader:
     def upload_chunk(self, table: str, chunk: Mapping[str, np.ndarray]) -> int:
         """First chunk creates (or replaces) the table; every chunk COPYes."""
         cur = self.conn.cursor()
+        chunk = {k: np.asarray(v) for k, v in chunk.items()}
         if table not in self._created:
-            scalar_cols, vector_dims = collapse_embedding_columns(list(chunk))
-            types = {c: infer_pg_type(np.asarray(chunk[c])) for c in scalar_cols}
+            scalar_cols, emb_groups, array_cols = _chunk_layout(chunk)
+            types = {c: infer_pg_type(chunk[c]) for c in scalar_cols}
+            vector_dims = {
+                **{b: len(cols) for b, cols in emb_groups.items()},
+                **array_cols,
+            }
             for stmt in build_create_preprocessed(
-                self.schema, table, types, vector_dims, replace=self.replace
+                self.schema, table, types, vector_dims, replace=self.replace,
             ):
                 cur.execute(stmt)
             self._created.add(table)
-            self._layout[table] = (scalar_cols, vector_dims)
-        scalar_cols, vector_dims = self._layout[table]
+            self._layout[table] = (scalar_cols, emb_groups, array_cols)
+        scalar_cols, emb_groups, array_cols = self._layout[table]
         cols = ", ".join(
-            _quote_ident(c) for c in [*scalar_cols, *vector_dims.keys()]
+            _quote_ident(c)
+            for c in [*scalar_cols, *emb_groups.keys(), *array_cols.keys()]
         )
         copy_sql = (
             f"COPY {_quote_ident(self.schema)}.{_quote_ident(table)} ({cols}) "
             "FROM STDIN WITH (FORMAT csv, DELIMITER ',', NULL '\\N', "
             "QUOTE '\"', ESCAPE '\"')"
         )
-        payload = _chunk_csv(chunk, scalar_cols, vector_dims)
+        payload = _chunk_csv(chunk, scalar_cols, emb_groups, array_cols)
         with cur.copy(copy_sql) as copy:
             copy.write(payload)
         return payload.count("\n")

@@ -173,13 +173,14 @@ def update_text_embeddings(
     return updated
 
 
-def load_preprocessed(out_dir: str | Path, table_name: str) -> dict[str, np.ndarray]:
-    """Read all chunks back into one column dict (embeddings -> [N, D])."""
+def iter_preprocessed_chunks(out_dir: str | Path, table_name: str):
+    """Yield each preprocessed chunk as a column dict (embeddings -> [N, D]),
+    in manifest order — streaming counterpart of :func:`load_preprocessed`
+    (feeds e.g. the PG write-back without holding the table in memory)."""
     import pyarrow.parquet as pq
 
     out = Path(out_dir)
     manifest = json.loads((out / f"{table_name}_manifest.json").read_text())
-    parts: list[dict[str, np.ndarray]] = []
     for fname in manifest["chunks"]:
         tbl = pq.read_table(str(out / fname))
         cols = {}
@@ -189,7 +190,12 @@ def load_preprocessed(out_dir: str | Path, table_name: str) -> dict[str, np.ndar
             if data.dtype == object and len(data) and isinstance(data[0], np.ndarray):
                 data = np.stack(data).astype(np.float32)
             cols[name] = data
-        parts.append(cols)
+        yield cols
+
+
+def load_preprocessed(out_dir: str | Path, table_name: str) -> dict[str, np.ndarray]:
+    """Read all chunks back into one column dict (embeddings -> [N, D])."""
+    parts = list(iter_preprocessed_chunks(out_dir, table_name))
     return {
         name: np.concatenate([p[name] for p in parts])
         for name in parts[0]

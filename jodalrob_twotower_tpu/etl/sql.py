@@ -253,11 +253,15 @@ class DatabaseConnector:
         return total
 
     def pg_connection(self):
-        """The underlying psycopg3 connection (for COPY-based write-back:
-        etl/pg_writeback.py). SQLAlchemy's pooled DBAPI connection wraps the
-        driver connection; COPY needs the driver one."""
-        raw = self.engine.raw_connection()
-        return getattr(raw, "driver_connection", raw)
+        """A pooled DBAPI connection for COPY-based write-back
+        (etl/pg_writeback.py). Returns the pool PROXY, not the bare
+        psycopg3 connection: the proxy delegates cursor()/commit() to the
+        driver (whose cursors expose ``copy``), and it must stay referenced
+        for the whole write-back — dropping it would let the pool's
+        finalizer check the underlying connection back in (reset/rollback)
+        while the COPY is still streaming. Call ``.close()`` when done to
+        return it to the pool."""
+        return self.engine.raw_connection()
 
     def upload_preprocessed(
         self,
@@ -273,12 +277,16 @@ class DatabaseConnector:
         upload_database.py:64-102; logic in etl/pg_writeback.py)."""
         from jodalrob_twotower_tpu.etl.pg_writeback import PreprocessedUploader
 
-        up = PreprocessedUploader(self.pg_connection(), schema=schema, replace=replace)
-        total = 0
-        for chunk in chunks:
-            total += up.upload_chunk(table, chunk)
-        up.commit()
-        return total
+        conn = self.pg_connection()
+        try:
+            up = PreprocessedUploader(conn, schema=schema, replace=replace)
+            total = 0
+            for chunk in chunks:
+                total += up.upload_chunk(table, chunk)
+            up.commit()
+            return total
+        finally:
+            conn.close()
 
     def update_text_vectors(
         self,
@@ -294,10 +302,14 @@ class DatabaseConnector:
         text_vector_updator.py:34-51 + database_connector.py:94-131)."""
         from jodalrob_twotower_tpu.etl.pg_writeback import execute_vector_update
 
-        return execute_vector_update(
-            self.pg_connection(), schema=schema, table=table, pk_cols=pk_cols,
-            vec_col=vec_col, rows=rows, dims=dims,
-        )
+        conn = self.pg_connection()
+        try:
+            return execute_vector_update(
+                conn, schema=schema, table=table, pk_cols=pk_cols,
+                vec_col=vec_col, rows=rows, dims=dims,
+            )
+        finally:
+            conn.close()
 
     def export_table_to_parquet_chunks(
         self,

@@ -12,19 +12,26 @@ def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
     'gspmd_rows' -> plain gather, XLA chooses the collectives for the
     row-sharded table; 'shard_map' -> explicit all-to-all exchange."""
     lookup_fn = None
-    if mesh is not None and cfg.mesh.embedding_sharding == "shard_map":
+    if mesh is not None:
+        from jodalrob_twotower_tpu.parallel.mesh import resolve_embedding_sharding
+
+        mode = resolve_embedding_sharding(cfg.mesh, schema)
+    else:
+        mode = None
+    if mode == "shard_map":
         from jodalrob_twotower_tpu.parallel.sharded_embedding import make_sharded_lookup
 
         lookup_fn = make_sharded_lookup(mesh)
     elif (
-        mesh is not None
+        mode == "replicated"
         and mesh.size > 1
-        and cfg.mesh.embedding_sharding == "replicated"
         and cfg.model.embedding_grad in ("auto", "dense")
     ):
         from jodalrob_twotower_tpu.parallel.sharded_embedding import (
             ShardedDenseGradLookup,
         )
 
-        lookup_fn = ShardedDenseGradLookup(mesh)
+        lookup_fn = ShardedDenseGradLookup(
+            mesh, forced=cfg.model.embedding_grad == "dense"
+        )
     return TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup, lookup_fn)

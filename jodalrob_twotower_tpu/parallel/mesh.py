@@ -53,3 +53,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard dim 0 (embedding-table rows / rowwise optimizer state)."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+# dense table gradients (cost ∝ rows x batch) lose to the scatter above
+# this unified-table height; below it, replicating the (few-MB) table is
+# cheaper than exchanging rows per step AND keeps the dense-grad kernel
+# (models/embedding.py DENSE_GRAD_MAX_ROWS — the same crossover).
+AUTO_REPLICATE_MAX_ROWS = 1 << 16
+
+
+def resolve_embedding_sharding(mesh_cfg: MeshConfig, schema) -> str:
+    """Concrete embedding-sharding mode from a config + schema.
+
+    "auto" -> "replicated" when every tower's unified table is small enough
+    for the replicate+dense-grad regime, else "gspmd_rows". Explicit modes
+    pass through."""
+    mode = mesh_cfg.embedding_sharding
+    if mode != "auto":
+        return mode
+    from jodalrob_twotower_tpu.models.embedding import table_layout
+
+    total = max(
+        table_layout(side.vocab_sizes)[1] if side.vocab_sizes else 0
+        for side in (schema.notice, schema.company)
+    )
+    return "replicated" if total <= AUTO_REPLICATE_MAX_ROWS else "gspmd_rows"

@@ -70,17 +70,24 @@ class ShardedDenseGradLookup:
         *,
         interpret: bool | None = None,
         max_rows: int = 1 << 16,
+        forced: bool = False,
     ) -> None:
+        """``forced``: the config explicitly asked for the dense-grad
+        backward (embedding_grad="dense"), so run the kernel at ANY table
+        height — matching the single-device 'dense' semantics
+        (models/embedding.py) instead of silently reverting to the scatter
+        above ``max_rows`` (the 'auto' crossover)."""
         self.mesh = mesh
         self.axis = axis
         self.interpret = (
             (jax.default_backend() != "tpu") if interpret is None else interpret
         )
         self.max_rows = max_rows
+        self.forced = forced
         self._cache: dict = {}
 
     def __call__(self, table, rows, *, total_rows: int, tile_feature: tuple):
-        if total_rows > self.max_rows:
+        if total_rows > self.max_rows and not self.forced:
             return jnp.take(table, rows, axis=0)  # XLA scatter backward
         key = (total_rows, tile_feature)
         if key not in self._cache:

@@ -84,9 +84,10 @@ def make_sharded_train(
     state, tx = create_train_state(
         model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
     )
-    shardings = state_shardings(
-        state, mesh, shard_tables=cfg.mesh.embedding_sharding != "replicated"
-    )
+    from jodalrob_twotower_tpu.parallel.mesh import resolve_embedding_sharding
+
+    mode = resolve_embedding_sharding(cfg.mesh, model.schema)
+    shardings = state_shardings(state, mesh, shard_tables=mode != "replicated")
     state = jax.device_put(state, shardings)
 
     # mesh passed through: with use_fused_logits the CE runs as the
@@ -146,9 +147,10 @@ def make_sharded_indexed_train(
     state, tx = create_train_state(
         model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
     )
-    shardings = state_shardings(
-        state, mesh, shard_tables=cfg.mesh.embedding_sharding != "replicated"
-    )
+    from jodalrob_twotower_tpu.parallel.mesh import resolve_embedding_sharding
+
+    mode = resolve_embedding_sharding(cfg.mesh, model.schema)
+    shardings = state_shardings(state, mesh, shard_tables=mode != "replicated")
     state = jax.device_put(state, shardings)
     rep = replicated(mesh)
     idx_sharding = NamedSharding(mesh, P(DATA_AXIS, None))

@@ -175,6 +175,25 @@ def cmd_update_text(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_upload(args: argparse.Namespace) -> int:
+    """Write preprocessed parquet chunks back into PostgreSQL
+    ({table}_preprocessed with pgvector embedding columns — reference
+    upload_database.py flow, executed via etl/pg_writeback.py)."""
+    from jodalrob_twotower_tpu.etl.pipeline import iter_preprocessed_chunks
+    from jodalrob_twotower_tpu.etl.sql import DatabaseConnector
+
+    conn = DatabaseConnector(args.url)
+    target = args.target_table or f"{args.table}_preprocessed"
+    n = conn.upload_preprocessed(
+        target,
+        iter_preprocessed_chunks(args.out_dir, args.table),
+        schema=args.pg_schema,
+        replace=not args.append,
+    )
+    print(json.dumps({"table": f"{args.pg_schema}.{target}", "rows": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +238,20 @@ def main(argv: list[str] | None = None) -> int:
         "rows in the same embedding space)",
     )
     u.set_defaults(fn=cmd_update_text)
+
+    up = sub.add_parser(
+        "upload", help="COPY preprocessed chunks into PostgreSQL (+pgvector)"
+    )
+    up.add_argument("--out-dir", required=True, help="preprocessed chunk dir")
+    up.add_argument("--table", required=True, help="logical table (manifest name)")
+    up.add_argument("--target-table", default=None,
+                    help="PG table name (default: {table}_preprocessed)")
+    up.add_argument("--pg-schema", default="public")
+    up.add_argument("--url", default=None,
+                    help="postgres URL (default: DB_* env vars)")
+    up.add_argument("--append", action="store_true",
+                    help="keep an existing table instead of replacing it")
+    up.set_defaults(fn=cmd_upload)
 
     for cmd in (r, u):
         cmd.add_argument(

@@ -53,6 +53,7 @@ def worker(process_id: int, num_processes: int) -> None:
     from jodalrob_twotower_tpu.config import (
         DataConfig,
         LossConfig,
+        MeshConfig,
         ModelConfig,
         OptimizerConfig,
         TrainConfig,
@@ -77,6 +78,9 @@ def worker(process_id: int, num_processes: int) -> None:
         loss=LossConfig(temperature=0.5, use_fused_logits=False),
         optimizer=OptimizerConfig(learning_rate=1e-2),
         data=DataConfig(batch_size=BATCH),
+        # pin row-sharding: this smoke asserts each host holds half the
+        # table rows ("auto" would replicate these tiny test vocabs)
+        mesh=MeshConfig(embedding_sharding="gspmd_rows"),
     )
     # every process generates the same dataset (same seed), then keeps its shard
     ds = make_synthetic_dataset(seed=0, n_notices=512, n_companies=512, n_pairs=2048)

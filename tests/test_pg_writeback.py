@@ -73,11 +73,14 @@ def test_infer_pg_type():
 
 def test_collapse_embedding_columns():
     cols = ["pk", "x", "title_emb000", "title_emb001", "title_emb002"]
-    scalars, dims = collapse_embedding_columns(cols)
+    scalars, groups = collapse_embedding_columns(cols)
     assert scalars == ["pk", "x"]
-    assert dims == {"title": 3}
+    assert groups == {"title": ("title_emb000", "title_emb001", "title_emb002")}
     with pytest.raises(ValueError, match="non-contiguous"):
         collapse_embedding_columns(["t_emb000", "t_emb002"])
+    # wider zero-padding is accepted and the REAL names are carried through
+    _, g4 = collapse_embedding_columns(["t_emb0000", "t_emb0001"])
+    assert g4 == {"t": ("t_emb0000", "t_emb0001")}
 
 
 def test_build_create_preprocessed_ddl():
@@ -119,7 +122,13 @@ def test_uploader_create_and_copy_flow():
     assert '"pk", "score", "title"' in copy_sql and "FROM STDIN" in copy_sql
     payload = "".join(copies[0][2])
     lines = payload.strip().split("\n")
-    assert lines[0] == 'a,1.0,"[0.1,1.0]"'.replace("0.1", repr(float(np.float32(0.1))))
+    # row 0: scalar fields + the vector literal round-trips to float32
+    pk0, score0, vec0 = lines[0].split(",", 2)
+    assert (pk0, score0) == ("a", "1.0")
+    parsed = np.asarray(
+        [float(x) for x in vec0.strip('"[]').split(",")], np.float32
+    )
+    np.testing.assert_array_equal(parsed, np.asarray([0.1, 1.0], np.float32))
     # quoted comma field, nulls as \N (both the text None and the float nan)
     assert lines[1].startswith('"b,c",\\N,')
     assert lines[2].startswith("\\N,3.5,")
@@ -146,6 +155,86 @@ def test_execute_vector_update_flow():
     # transaction committed AFTER the update
     assert conn.log[-1] == ("commit",)
     assert conn.log[-2][1].startswith("UPDATE")
+
+
+def test_uploader_2d_array_vector_columns():
+    """This framework's native chunk shape: embeddings as [N, D] blocks
+    (etl/pipeline.py fixed-size-list columns) upload as vector columns."""
+    conn = FakeConn()
+    up = PreprocessedUploader(conn)
+    chunk = {
+        "pk": np.asarray(["a", "b"], object),
+        "title": np.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32),
+    }
+    assert up.upload_chunk("t", chunk) == 2
+    executes = [s for e, *rest in conn.log if e == "execute" for s in rest]
+    assert any("vector(3)" in s for s in executes)
+    copies = [entry for entry in conn.log if entry[0] == "copy"]
+    payload = "".join(copies[0][2])
+    assert payload.splitlines()[0] == 'a,"[1,2,3]"'
+
+
+def test_chunk_csv_float32_nan_is_null():
+    from jodalrob_twotower_tpu.etl.pg_writeback import _csv_field
+
+    assert _csv_field(np.float32("nan")) == "\\N"
+    assert _csv_field(float("nan")) == "\\N"
+    assert _csv_field(np.float32(1.5)) == "1.5"
+
+
+def test_uploader_wide_zero_padded_group():
+    """4-digit emb suffixes (reference tables beyond 1000 dims) upload via
+    the carried column names, not a re-derived 3-digit format."""
+    conn = FakeConn()
+    up = PreprocessedUploader(conn)
+    chunk = {
+        "pk": np.asarray(["a"], object),
+        "t_emb0000": np.asarray([1.0], np.float32),
+        "t_emb0001": np.asarray([2.0], np.float32),
+    }
+    assert up.upload_chunk("t", chunk) == 1
+    copies = [entry for entry in conn.log if entry[0] == "copy"]
+    assert "".join(copies[0][2]).splitlines()[0] == 'a,"[1,2]"'
+
+
+def test_pipeline_chunks_to_pg_upload_end_to_end(tmp_path):
+    """run_pipeline parquet output streams straight into the uploader."""
+    from jodalrob_twotower_tpu.etl.pipeline import (
+        iter_preprocessed_chunks,
+        run_pipeline,
+    )
+    from jodalrob_twotower_tpu.etl.text import HashTextEmbedder
+
+    rng = np.random.default_rng(0)
+    n = 10
+    table = {
+        "pk": np.asarray([f"k{i}" for i in range(n)], object),
+        "amount": rng.normal(size=n).astype(np.float64),
+        "cat": np.asarray([f"c{i % 3}" for i in range(n)], object),
+        "title": np.asarray([f"text number {i}" for i in range(n)], object),
+    }
+    run_pipeline(
+        "notice",
+        [table],
+        tmp_path,
+        pk_columns=["pk"],
+        numeric_columns=["amount"],
+        categorical_columns=["cat"],
+        text_columns=["title"],
+        fit_table=table,
+        text_embedder=HashTextEmbedder(embed_dim=4),
+    )
+    conn = FakeConn()
+    up = PreprocessedUploader(conn)
+    total = 0
+    for chunk in iter_preprocessed_chunks(tmp_path, "notice"):
+        total += up.upload_chunk("notice_preprocessed", chunk)
+    up.commit()
+    assert total == n
+    executes = [s for e, *rest in conn.log if e == "execute" for s in rest]
+    create = [s for s in executes if "CREATE TABLE" in s]
+    assert create and "vector(4)" in create[0]  # the title embedding block
+    assert conn.commits == 1
 
 
 def test_vector_literal_roundtrip_precision():

@@ -36,7 +36,37 @@ _CFG = TrainConfig(
     ),
     loss=LossConfig(temperature=0.2),
     optimizer=OptimizerConfig(learning_rate=1e-3),
+    # pin the explicit row-sharded mode: the tiny test vocabs would resolve
+    # "auto" to "replicated" (parallel/mesh.resolve_embedding_sharding) and
+    # this file asserts the row-sharded layout specifically
+    mesh=MeshConfig(embedding_sharding="gspmd_rows"),
 )
+
+
+def test_auto_embedding_sharding_resolution(tiny_dataset):
+    from jodalrob_twotower_tpu.parallel.mesh import resolve_embedding_sharding
+    from jodalrob_twotower_tpu.schema import (
+        CategoricalSpec,
+        SideSchema,
+        TwoTowerSchema,
+    )
+
+    # tiny vocabs -> replicated (dense-grad regime)
+    assert resolve_embedding_sharding(MeshConfig(), tiny_dataset.schema) == "replicated"
+    # huge vocab -> row-sharded
+    big = SideSchema(
+        table="notice", pk=("id",),
+        categorical=(CategoricalSpec("c0", 10_000_000),),
+    )
+    schema = TwoTowerSchema(notice=big, company=tiny_dataset.schema.company)
+    assert resolve_embedding_sharding(MeshConfig(), schema) == "gspmd_rows"
+    # explicit modes pass through
+    assert (
+        resolve_embedding_sharding(
+            MeshConfig(embedding_sharding="shard_map"), schema
+        )
+        == "shard_map"
+    )
 
 
 def test_mesh_construction():

@@ -65,6 +65,30 @@ def test_mesh_trainer_matches_single_device(tiny_dataset, split_ds):
 
 
 def test_mesh_trainer_state_is_sharded(tiny_dataset, split_ds):
+    import dataclasses
+
+    from jodalrob_twotower_tpu.config import MeshConfig
+
+    ds = tiny_dataset
+    tr, va = split_ds
+    mesh = make_mesh(jax.devices()[:8])
+    # pin the row-sharded mode: "auto" resolves these tiny vocabs to the
+    # replicated+dense-grad regime (tested below)
+    cfg = dataclasses.replace(
+        _CFG, mesh=MeshConfig(embedding_sharding="gspmd_rows")
+    )
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store,
+                      mesh=mesh, log_fn=lambda s: None)
+    result = trainer.train(tr, va[:256], corpus_eval=False)
+    table = result.state.params["notice_tower"]["embeddings"]["table"]
+    assert not table.sharding.is_fully_replicated
+    shapes = {s.data.shape for s in table.addressable_shards}
+    assert shapes == {(table.shape[0] // 8, table.shape[1])}
+
+
+def test_mesh_trainer_auto_replicates_small_tables(tiny_dataset, split_ds):
+    """The default 'auto' mode keeps small flagship-class tables replicated
+    (cheaper than per-step row exchange; dense-grad kernel backward)."""
     ds = tiny_dataset
     tr, va = split_ds
     mesh = make_mesh(jax.devices()[:8])
@@ -72,9 +96,8 @@ def test_mesh_trainer_state_is_sharded(tiny_dataset, split_ds):
                       mesh=mesh, log_fn=lambda s: None)
     result = trainer.train(tr, va[:256], corpus_eval=False)
     table = result.state.params["notice_tower"]["embeddings"]["table"]
-    assert not table.sharding.is_fully_replicated
-    shapes = {s.data.shape for s in table.addressable_shards}
-    assert shapes == {(table.shape[0] // 8, table.shape[1])}
+    assert table.sharding.is_fully_replicated
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
 
 
 def test_mesh_trainer_sparse_tables(tiny_dataset, split_ds):
