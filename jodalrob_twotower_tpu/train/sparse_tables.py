@@ -136,15 +136,28 @@ def create_sparse_train_state(
     return state, tx
 
 
+# Above this many occurrences the XLA segment-sum scatter falls off a
+# cliff on the bench chip (12 ms @ 262k -> 114 ms @ 524k rows x 64) while
+# the cumsum-difference form scales smoothly (21 / 38 ms): measured sweep
+# in BENCHMARKS.md "Duplicate-id dedup cost". In-product sizes sit on both
+# sides: per-step batches (B*K = 65-262k) use the scatter, deferred
+# windows (n_inner*B*K >= 524k) use the cumsum form.
+_DEDUP_CUMSUM_MIN_ROWS = 1 << 19
+
+
 def segment_sum_duplicates(rows: jax.Array, grads: jax.Array, sentinel: int):
     """Exact duplicate handling, jit-stable shapes: sum the per-occurrence
     cotangents of each unique row.
 
-    Sort rows (carrying grads), mark segment starts, segment-sum into the
-    worst-case [N] slots. Returns (unique_rows [N], summed_grads [N, D])
-    where unused slots hold ``sentinel`` (an out-of-range row the scatters
-    drop) and zero grads. O(N log N) sort + O(N·D) gather/segment ops — no
-    dependence on the table height.
+    Sort rows (carrying grads), mark segment starts, reduce each segment
+    into the worst-case [N] slots — via segment_sum (a sorted scatter) at
+    per-step sizes, or via a prefix-sum difference at deferred-window sizes
+    (cumsum is two sequential HBM passes; XLA's log-depth scan keeps the
+    f32 rounding at ~3e-5 relative, far below the bf16 grads' own noise).
+    Returns (unique_rows [N], summed_grads [N, D]) where unused slots hold
+    ``sentinel`` (an out-of-range row the scatters drop) and zero grads.
+    O(N log N) sort + O(N·D) gather/reduce ops — no dependence on the table
+    height.
     """
     n = rows.shape[0]
     order = jnp.argsort(rows)
@@ -154,9 +167,22 @@ def segment_sum_duplicates(rows: jax.Array, grads: jax.Array, sentinel: int):
         [jnp.ones((1,), bool), rs[1:] != rs[:-1]]
     )
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # [n], in [0, n_unique)
-    g_sum = jax.ops.segment_sum(
-        gs, seg, num_segments=n, indices_are_sorted=True
-    )
+    if n >= _DEDUP_CUMSUM_MIN_ROWS:
+        cs = jnp.cumsum(gs, axis=0)  # [n, D]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        last_pos = jnp.zeros((n,), jnp.int32).at[seg].max(pos)
+        g_end = jnp.take(cs, last_pos, axis=0)
+        # segments are contiguous after the sort: slot u's start-1 is slot
+        # u-1's end, so one int max-scatter serves both boundaries
+        prev_last = jnp.concatenate([jnp.zeros((1,), jnp.int32), last_pos[:-1]])
+        g_start = jnp.where(
+            (jnp.arange(n) > 0)[:, None], jnp.take(cs, prev_last, axis=0), 0.0
+        )
+        g_sum = g_end - g_start
+    else:
+        g_sum = jax.ops.segment_sum(
+            gs, seg, num_segments=n, indices_are_sorted=True
+        )
     # every occurrence of a row writes the SAME value into its segment slot
     unique_rows = jnp.full((n,), sentinel, rows.dtype).at[seg].set(rs)
     return unique_rows, g_sum

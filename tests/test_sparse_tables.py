@@ -88,6 +88,31 @@ def test_segment_sum_duplicates():
     assert pad.sum() == 3 and np.all(gsum[pad] == 0)
 
 
+def test_segment_sum_duplicates_cumsum_branch(monkeypatch):
+    """The deferred-window-scale prefix-sum implementation computes the
+    same per-unique-row sums as the segment-sum scatter (to f32 rounding)."""
+    import jodalrob_twotower_tpu.train.sparse_tables as st
+    from jodalrob_twotower_tpu.train.sparse_tables import segment_sum_duplicates
+
+    rng = np.random.default_rng(1)
+    rows = jnp.asarray(rng.integers(0, 64, size=512), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(512, 8)), jnp.float32)
+    u_ref, g_ref = segment_sum_duplicates(rows, g, sentinel=256)
+    monkeypatch.setattr(st, "_DEDUP_CUMSUM_MIN_ROWS", 1)
+    u_cs, g_cs = segment_sum_duplicates(rows, g, sentinel=256)
+    np.testing.assert_array_equal(np.asarray(u_ref), np.asarray(u_cs))
+    valid = np.asarray(u_ref) < 256
+    np.testing.assert_allclose(
+        np.asarray(g_cs)[valid], np.asarray(g_ref)[valid], rtol=2e-4, atol=1e-5
+    )
+    # against the dense scatter-add ground truth
+    dense = np.zeros((64, 8), np.float32)
+    np.add.at(dense, np.asarray(rows), np.asarray(g))
+    np.testing.assert_allclose(
+        np.asarray(g_cs)[valid], dense[np.asarray(u_cs)[valid]], rtol=2e-4, atol=1e-5
+    )
+
+
 def test_sparse_adagrad_update_exact_with_duplicates():
     """dedup=True on a duplicate-heavy batch == the dense rowwise-Adagrad
     applied to the summed gradient (the dense path's autodiff semantics,
