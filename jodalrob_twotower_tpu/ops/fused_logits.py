@@ -79,6 +79,14 @@ def _supported(b: int, d: int) -> bool:
     return b % _BM == 0 and b <= _MAX_B and d % 128 == 0
 
 
+def _kernel_ok(interpret: bool) -> bool:
+    """The TPU kernels only lower on TPU (or anywhere in interpret mode).
+    Off-TPU callers of the fused API silently get the XLA path instead of
+    a Mosaic lowering error — `use_fused_logits=True` configs stay runnable
+    on the CPU dev/test meshes at any shape."""
+    return interpret or jax.default_backend() == "tpu"
+
+
 # ---------------------------------------------------------------------------
 # forward: stats kernel
 # ---------------------------------------------------------------------------
@@ -202,7 +210,7 @@ def fused_stats(
     n_scaled = n.astype(jnp.float32) / temperature
     c = c.astype(jnp.float32)
     b, d = n_scaled.shape
-    if force_xla or not _supported(b, d):
+    if force_xla or not _supported(b, d) or not _kernel_ok(interpret):
         return _stats_xla(n_scaled, c)
     row_stats, col_stats = _fused_stats_call(n_scaled, c, interpret=interpret)
     return FusedStats(
@@ -450,7 +458,7 @@ def _ce_primal(n, c, temperature, label_smoothing, interpret, max_abs_logit):
     rank/sum VPU passes (the stats kernel is VPU-bound, not MXU-bound)."""
     n_scaled = n.astype(jnp.float32) / temperature
     b, d = n_scaled.shape
-    if label_smoothing == 0.0 and _supported(b, d):
+    if label_smoothing == 0.0 and _supported(b, d) and _kernel_ok(interpret):
         row_lse, col_lse = _fused_lean_call(
             n_scaled, c.astype(jnp.float32), interpret=interpret,
             max_abs_logit=max_abs_logit,
@@ -498,7 +506,7 @@ def _ce_bwd(temperature, label_smoothing, interpret, max_abs_logit, res, g):
     n_scaled = n.astype(jnp.float32) / temperature
     c32 = c.astype(jnp.float32)
     b, d = n_scaled.shape
-    if _supported(b, d):
+    if _supported(b, d) and _kernel_ok(interpret):
         dn_s, dc = _fused_bwd_call(
             n_scaled, c32, row_lse, col_lse, label_smoothing, interpret=interpret
         )
@@ -618,7 +626,7 @@ def _sharded_ce_primal(n, c, axis_name, temperature, label_smoothing,
     row0 = jax.lax.axis_index(axis_name) * bl
     eps = label_smoothing
 
-    if eps == 0.0 and _sharded_supported(bl, b, d):
+    if eps == 0.0 and _sharded_supported(bl, b, d) and _kernel_ok(interpret):
         row_lse, col_part = _fused_lean_call(
             n_scaled, c_full, interpret=interpret, max_abs_logit=max_abs_logit
         )
@@ -634,7 +642,7 @@ def _sharded_ce_primal(n, c, axis_name, temperature, label_smoothing,
         ) / b
         return 0.5 * (row_term + col_term), (row_lse, col_lse)
 
-    if _sharded_supported(bl, b, d):
+    if _sharded_supported(bl, b, d) and _kernel_ok(interpret):
         row_stats, col_stats = _fused_stats_call(
             n_scaled, c_full, row0, interpret=interpret
         )
@@ -672,7 +680,7 @@ def _sharded_ce_grads_local(n, c, row_lse, col_lse, g, axis_name, temperature,
     c_full = jax.lax.all_gather(c32, axis_name, tiled=True)  # recompute: cheap
     b = c_full.shape[0]
     row0 = jax.lax.axis_index(axis_name) * bl
-    if _sharded_supported(bl, b, d):
+    if _sharded_supported(bl, b, d) and _kernel_ok(interpret):
         dn_s, dc_part = _fused_bwd_call(
             n_scaled, c_full, row_lse, col_lse, label_smoothing, row0,
             interpret=interpret,

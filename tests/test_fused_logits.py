@@ -147,3 +147,37 @@ def test_lean_nomax_falls_back_when_bound_too_large(rng):
     assert np.isfinite(float(out))
     ref = fused_bidirectional_ce(n, c, 0.01, 0.0, True)
     assert float(out) == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_fused_api_falls_back_off_tpu_at_kernel_shapes(rng):
+    """use_fused_logits=True must be runnable on the CPU dev/test backend
+    even at kernel-eligible shapes (B % 128 == 0, D % 128 == 0): without
+    interpret mode the kernels cannot lower off-TPU, so the API silently
+    takes the XLA path (ops/fused_logits._kernel_ok)."""
+    import jax
+
+    from jodalrob_twotower_tpu.ops.fused_logits import (
+        fused_bidirectional_ce,
+        fused_in_batch_metrics,
+    )
+
+    n = rng.normal(size=(128, 128)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    c = rng.normal(size=(128, 128)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    n, c = jnp.asarray(n), jnp.asarray(c)
+
+    ref, _ = bidirectional_ce_loss(n, c, temperature=0.3)
+    out = fused_bidirectional_ce(n, c, 0.3, 0.0, False, 1 / 0.3)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+    g_ref = jax.grad(
+        lambda a, b: bidirectional_ce_loss(a, b, temperature=0.3)[0], argnums=(0, 1)
+    )(n, c)
+    g = jax.grad(
+        lambda a, b: fused_bidirectional_ce(a, b, 0.3, 0.0, False, 1 / 0.3),
+        argnums=(0, 1),
+    )(n, c)
+    for a, b in zip(g_ref, g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    m = fused_in_batch_metrics(n, c, temperature=0.3)
+    assert 0.0 <= float(m["accuracy"]) <= 1.0
