@@ -16,6 +16,9 @@ adds the other BASELINE.json configs as evidence:
   serving_int8_10m             — BASELINE config 5: 10M-row int8 corpus
   serving_sharded_mesh         — ShardedIndex on the 8-virtual-device mesh
   fused_ce_paths               — XLA vs fused vs shard_mapped-fused loss+grads
+  fused_ce_paths_b16384/_b32768 — same beyond the VMEM-resident cap (the
+                                 col-blocked kernels; no XLA control at 32768
+                                 where the [B,B] blob would not fit)
   corpus_eval                  — corpus recall@k evaluation wall time
 
 Usage: python bench_suite.py [names...]   (default: all)
@@ -448,14 +451,20 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
 
 
-def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0) -> None:
+def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0,
+                   include_xla: bool = True) -> None:
     """Loss-path comparison ON THE REAL CHIP: XLA [B,B] materializing path
     vs the single-device fused kernels vs the shard_mapped fused wrapper on
     a 1-device mesh (same kernels + the degenerate collectives, so the
     wrapper's overhead is a measured number; multi-chip wall times need
     hardware this sandbox lacks — the 8-virtual-device equality is proven
     in tests/test_sharded_fused_ce.py). 16x lax.scan per dispatch, value
-    fetch at the end (measurement rules, CLAUDE.md)."""
+    fetch at the end (measurement rules, CLAUDE.md).
+
+    At b > 8192 the fused route is the col-blocked kernel family
+    (ops/fused_logits._fused_lean_blocked_call); include_xla=False skips
+    the materializing control where its [B,B] f32 logits (+softmax
+    residents) would not fit HBM (b >= 32768 ~ >12 GB live)."""
     import jax
     import jax.numpy as jnp
 
@@ -480,6 +489,8 @@ def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0) -> None:
         "fused": lambda a, bb: fused_bidirectional_ce(a, bb, tau, 0.0, False, 1.0 / tau),
         "fused_sharded_mesh1": sharded,
     }
+    if not include_xla:
+        del paths["xla"]
     n_inner, reps = 16, 6
     for name, fn in paths.items():
         def val_and_grads(a, bb, fn=fn):
@@ -567,6 +578,8 @@ BENCHES = {
     "serving_int8_10m_pd4": lambda: serving_10m("int8", pipeline_depth=4),
     "serving_sharded_mesh": serving_sharded_mesh,
     "fused_ce_paths": fused_ce_paths,
+    "fused_ce_paths_b16384": lambda: fused_ce_paths(b=16384),
+    "fused_ce_paths_b32768": lambda: fused_ce_paths(b=32768, include_xla=False),
     "corpus_eval": corpus_eval,
 }
 

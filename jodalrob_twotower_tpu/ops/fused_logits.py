@@ -342,6 +342,268 @@ def _fused_lean_call(n_scaled, c, *, interpret: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# forward/backward: COL-BLOCKED lean kernels (B beyond the VMEM-resident cap)
+# ---------------------------------------------------------------------------
+#
+# The resident kernels above hold all of C in VMEM, capping B at 8192. Past
+# that, C streams through VMEM in [bn, D] column blocks over a 2-D grid
+# (row blocks outer, col blocks inner) and BOTH softmax reductions run
+# online: the row lse accumulates across the inner col sweep in a [bm, 1]
+# scratch, the col lse accumulates across the outer row sweep in a [1, B]
+# scratch (8 bytes/col — 0.5 MB at B=65536). C is re-read once per row
+# block (2·B²/bm·D bytes total: ~0.5 ms at B=16384 — still nothing next to
+# the XLA path's [B, B] HBM materialization, 1 GB at B=16384). The
+# backward runs as TWO passes so every accumulator is a consecutively
+# revisited block: dn with cols inner, dc with rows inner — recomputing S
+# twice costs FLOPs, which this chip has to spare (the O(B²) HBM blob is
+# the thing being avoided). Only the lean loss (label_smoothing == 0) gets
+# blocked variants; the stats/metrics surface keeps the resident envelope.
+
+_BN_BLOCKED = 1024  # col-block width (the [bm, bn] f32 tile: 512 KB)
+_MAX_B_BLOCKED = 65536  # col-scratch [1, B] f32 x2 = 0.5 MB; plenty of slack
+
+
+def _blocked_supported(rows: int, b: int, d: int) -> bool:
+    return (
+        _MAX_B < b <= _MAX_B_BLOCKED
+        and b % _BN_BLOCKED == 0
+        and d % 128 == 0
+        and (rows % _BM == 0 or rows <= _BM)
+    )
+
+
+def _fwd_lean_blocked_kernel(nomax: bool):
+    """Factory: grid (rows/bm, B/bn), n block [bm, D] (row-indexed), c block
+    [bn, D] (col-indexed). Outputs row_lse [rows, 1] (row-indexed block,
+    finalized on the last col block) and col_lse [1, B] (same full block
+    every program; each col slice finalized on the last row block).
+    Scratch: row online state [bm, 1] (x2 shifted), col online state [1, B]
+    (x2 shifted) — col state persists across the whole grid."""
+
+    if nomax:
+
+        def kernel(n_ref, c_ref, row_ref, col_ref, rowe_ref, cole_ref):
+            i, j = pl.program_id(0), pl.program_id(1)
+            nj = pl.num_programs(1)
+            bn = c_ref.shape[0]
+            s = jnp.dot(n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32)
+            es = jnp.exp(s)
+
+            @pl.when(j == 0)
+            def _():
+                rowe_ref[:, :] = jnp.zeros_like(rowe_ref)
+
+            rowe_ref[:, :] += jnp.sum(es, axis=1, keepdims=True)
+
+            @pl.when(j == nj - 1)
+            def _():
+                row_ref[:, :] = jnp.log(rowe_ref[:, :])
+
+            @pl.when(i == 0)
+            def _():
+                cole_ref[0:1, pl.ds(j * bn, bn)] = jnp.zeros((1, bn), jnp.float32)
+
+            cole_ref[0:1, pl.ds(j * bn, bn)] += jnp.sum(es, axis=0, keepdims=True)
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _():
+                col_ref[0:1, pl.ds(j * bn, bn)] = jnp.log(
+                    cole_ref[0:1, pl.ds(j * bn, bn)]
+                )
+
+        return kernel
+
+    def kernel(n_ref, c_ref, row_ref, col_ref, rowm_ref, rowe_ref, colm_ref, cole_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        nj = pl.num_programs(1)
+        bn = c_ref.shape[0]
+        s = jnp.dot(n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32)
+
+        # --- row online logsumexp across the col sweep -----------------------
+        @pl.when(j == 0)
+        def _():
+            rowm_ref[:, :] = jnp.full_like(rowm_ref, _NEG_INF)
+            rowe_ref[:, :] = jnp.zeros_like(rowe_ref)
+
+        bmax = jnp.max(s, axis=1, keepdims=True)
+        newm = jnp.maximum(rowm_ref[:, :], bmax)
+        rowe_ref[:, :] = rowe_ref[:, :] * jnp.exp(rowm_ref[:, :] - newm) + jnp.sum(
+            jnp.exp(s - newm), axis=1, keepdims=True
+        )
+        rowm_ref[:, :] = newm
+
+        @pl.when(j == nj - 1)
+        def _():
+            row_ref[:, :] = jnp.log(rowe_ref[:, :]) + rowm_ref[:, :]
+
+        # --- col online logsumexp across the row sweep -----------------------
+        @pl.when(i == 0)
+        def _():
+            colm_ref[0:1, pl.ds(j * bn, bn)] = jnp.full((1, bn), _NEG_INF, jnp.float32)
+            cole_ref[0:1, pl.ds(j * bn, bn)] = jnp.zeros((1, bn), jnp.float32)
+
+        cmax = jnp.max(s, axis=0, keepdims=True)
+        oldm = colm_ref[0:1, pl.ds(j * bn, bn)]
+        cnewm = jnp.maximum(oldm, cmax)
+        cole_ref[0:1, pl.ds(j * bn, bn)] = cole_ref[0:1, pl.ds(j * bn, bn)] * jnp.exp(
+            oldm - cnewm
+        ) + jnp.sum(jnp.exp(s - cnewm), axis=0, keepdims=True)
+        colm_ref[0:1, pl.ds(j * bn, bn)] = cnewm
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            col_ref[0:1, pl.ds(j * bn, bn)] = (
+                jnp.log(cole_ref[0:1, pl.ds(j * bn, bn)])
+                + colm_ref[0:1, pl.ds(j * bn, bn)]
+            )
+
+    return kernel
+
+
+_LEAN_BLOCKED = _fwd_lean_blocked_kernel(nomax=False)
+_LEAN_BLOCKED_NOMAX = _fwd_lean_blocked_kernel(nomax=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_abs_logit"))
+def _fused_lean_blocked_call(n_scaled, c, *, interpret: bool = False,
+                             max_abs_logit: float | None = None):
+    """Col-blocked lean forward: (row_lse [rows], col_lse [B])."""
+    rows, d = n_scaled.shape
+    b = c.shape[0]
+    bm = _BM if rows % _BM == 0 else rows
+    bn = _BN_BLOCKED
+    grid = (rows // bm, b // bn)
+    nomax = max_abs_logit is not None and max_abs_logit <= _NOMAX_MAX_ABS
+    scratch = [pltpu.VMEM((bm, 1), jnp.float32), pltpu.VMEM((1, b), jnp.float32)]
+    if not nomax:
+        scratch = [
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+        ]
+    row_lse, col_lse = pl.pallas_call(
+        _LEAN_BLOCKED_NOMAX if nomax else _LEAN_BLOCKED,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(n_scaled.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
+    return row_lse[:, 0], col_lse[0]
+
+
+def _bwd_blocked_a(s, rowlse, collse, row0, i, j, bm, bn, b, eps):
+    """The shared ∂L/∂S tile for the blocked backward passes."""
+    p_row = jnp.exp(s - rowlse)
+    p_col = jnp.exp(s - collse)
+    rr = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    diag = (cc + j * bn == rr + i * bm + row0).astype(jnp.float32)
+    return ((0.5 / b) * (p_row + p_col - 2.0 * (1.0 - eps) * diag
+                         - (2.0 * eps) / b)).astype(jnp.bfloat16)
+
+
+def _bwd_dn_blocked_kernel(n_ref, c_ref, rowlse_ref, collse_ref, eps_ref,
+                           off_ref, bglob_ref, dn_ref):
+    """Grid (rows/bm, B/bn): dn block (row-indexed) accumulates over the
+    inner col sweep. collse_ref: [1, bn] col-indexed block."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    bm, bn = dn_ref.shape[0], c_ref.shape[0]
+    s = jnp.dot(n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32)
+    a = _bwd_blocked_a(s, rowlse_ref[:, :], collse_ref[:, :], off_ref[0],
+                       i, j, bm, bn, bglob_ref[0], eps_ref[0, 0])
+
+    @pl.when(j == 0)
+    def _():
+        dn_ref[:, :] = jnp.zeros_like(dn_ref)
+
+    dn_ref[:, :] += jnp.dot(a, c_ref[:, :], preferred_element_type=jnp.float32)
+
+
+def _bwd_dc_blocked_kernel(n_ref, c_ref, rowlse_ref, collse_ref, eps_ref,
+                           off_ref, bglob_ref, dc_ref):
+    """Grid (B/bn, rows/bm) — cols OUTER: dc block (col-indexed) accumulates
+    over the inner row sweep."""
+    j, i = pl.program_id(0), pl.program_id(1)
+    bm, bn = n_ref.shape[0], dc_ref.shape[0]
+    s = jnp.dot(n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32)
+    a = _bwd_blocked_a(s, rowlse_ref[:, :], collse_ref[:, :], off_ref[0],
+                       i, j, bm, bn, bglob_ref[0], eps_ref[0, 0])
+
+    @pl.when(i == 0)
+    def _():
+        dc_ref[:, :] = jnp.zeros_like(dc_ref)
+
+    dc_ref[:, :] += jnp.dot(a.T, n_ref[:, :], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_bwd_blocked_call(n_scaled, c, row_lse, col_lse, eps,
+                            row_offset=None, *, interpret: bool = False):
+    """Two-pass col-blocked backward: (dn [rows, D] complete, dc [B, D]
+    partial over n's rows)."""
+    rows, d = n_scaled.shape
+    b = c.shape[0]
+    bm = _BM if rows % _BM == 0 else rows
+    bn = _BN_BLOCKED
+    eps_arr = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    off = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    bglob = jnp.asarray(b, jnp.int32).reshape(1)
+    nb = n_scaled.astype(jnp.bfloat16)
+    cb = c.astype(jnp.bfloat16)
+    rl = row_lse.reshape(rows, 1)
+    cl = col_lse.reshape(1, b)
+
+    dn = pl.pallas_call(
+        _bwd_dn_blocked_kernel,
+        grid=(rows // bm, b // bn),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, d), jnp.float32),
+        interpret=interpret,
+    )(nb, cb, rl, cl, eps_arr, off, bglob)
+
+    dc = pl.pallas_call(
+        _bwd_dc_blocked_kernel,
+        grid=(b // bn, rows // bm),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        interpret=interpret,
+    )(nb, cb, rl, cl, eps_arr, off, bglob)
+    return dn, dc
+
+
+# ---------------------------------------------------------------------------
 # loss from stats
 # ---------------------------------------------------------------------------
 
@@ -458,8 +720,13 @@ def _ce_primal(n, c, temperature, label_smoothing, interpret, max_abs_logit):
     rank/sum VPU passes (the stats kernel is VPU-bound, not MXU-bound)."""
     n_scaled = n.astype(jnp.float32) / temperature
     b, d = n_scaled.shape
-    if label_smoothing == 0.0 and _supported(b, d) and _kernel_ok(interpret):
-        row_lse, col_lse = _fused_lean_call(
+    if (
+        label_smoothing == 0.0
+        and _kernel_ok(interpret)
+        and (_supported(b, d) or _blocked_supported(b, b, d))
+    ):
+        lean = _fused_lean_call if _supported(b, d) else _fused_lean_blocked_call
+        row_lse, col_lse = lean(
             n_scaled, c.astype(jnp.float32), interpret=interpret,
             max_abs_logit=max_abs_logit,
         )
@@ -508,6 +775,14 @@ def _ce_bwd(temperature, label_smoothing, interpret, max_abs_logit, res, g):
     b, d = n_scaled.shape
     if _supported(b, d) and _kernel_ok(interpret):
         dn_s, dc = _fused_bwd_call(
+            n_scaled, c32, row_lse, col_lse, label_smoothing, interpret=interpret
+        )
+    elif (
+        label_smoothing == 0.0
+        and _blocked_supported(b, b, d)
+        and _kernel_ok(interpret)
+    ):
+        dn_s, dc = _fused_bwd_blocked_call(
             n_scaled, c32, row_lse, col_lse, label_smoothing, interpret=interpret
         )
     else:
@@ -626,8 +901,19 @@ def _sharded_ce_primal(n, c, axis_name, temperature, label_smoothing,
     row0 = jax.lax.axis_index(axis_name) * bl
     eps = label_smoothing
 
-    if eps == 0.0 and _sharded_supported(bl, b, d) and _kernel_ok(interpret):
-        row_lse, col_part = _fused_lean_call(
+    if (
+        eps == 0.0
+        and _kernel_ok(interpret)
+        and (_sharded_supported(bl, b, d) or _blocked_supported(bl, b, d))
+    ):
+        # resident kernel while the gathered side fits VMEM; col-blocked
+        # beyond it (global batches up to 65536 over the mesh)
+        lean = (
+            _fused_lean_call
+            if _sharded_supported(bl, b, d)
+            else _fused_lean_blocked_call
+        )
+        row_lse, col_part = lean(
             n_scaled, c_full, interpret=interpret, max_abs_logit=max_abs_logit
         )
         # diag_i = S_ii as an O(bl·D) rowsum of the LOCAL aligned rows;
@@ -682,6 +968,15 @@ def _sharded_ce_grads_local(n, c, row_lse, col_lse, g, axis_name, temperature,
     row0 = jax.lax.axis_index(axis_name) * bl
     if _sharded_supported(bl, b, d) and _kernel_ok(interpret):
         dn_s, dc_part = _fused_bwd_call(
+            n_scaled, c_full, row_lse, col_lse, label_smoothing, row0,
+            interpret=interpret,
+        )
+    elif (
+        label_smoothing == 0.0
+        and _blocked_supported(bl, b, d)
+        and _kernel_ok(interpret)
+    ):
+        dn_s, dc_part = _fused_bwd_blocked_call(
             n_scaled, c_full, row_lse, col_lse, label_smoothing, row0,
             interpret=interpret,
         )

@@ -91,7 +91,8 @@ def check_fused_ce_grads(b: int = 8192, d: int = 128, eps: float = 0.0) -> None:
     # on near-zero entries; compare on norms too
     gn_norm = float(jnp.linalg.norm(gn_f - gn_x) / jnp.linalg.norm(gn_x))
     ok = loss_err < 1e-3 and gn_norm < 1e-2
-    emit(f"fused_ce_grads_vs_xla_eps{eps}", ok, loss_rel_err=loss_err,
+    tag = f"_b{b}" if b != 8192 else ""
+    emit(f"fused_ce_grads_vs_xla_eps{eps}{tag}", ok, loss_rel_err=loss_err,
          grad_norm_rel_err=gn_norm, grad_max_rel_err=g_err, b=b, d=d)
 
     if eps == 0.0:
@@ -100,7 +101,7 @@ def check_fused_ce_grads(b: int = 8192, d: int = 128, eps: float = 0.0) -> None:
         # HARDWARE, not just in interpret mode
         l_nomax = float(fused_bidirectional_ce(n, c, tau, 0.0, False, 1.0 / tau))
         err = rel_err(np.asarray(l_nomax), jax.device_get(lf))
-        emit("fused_ce_lean_nomax_vs_shifted", bool(err < 1e-5),
+        emit(f"fused_ce_lean_nomax_vs_shifted{tag}", bool(err < 1e-5),
              loss_rel_err=float(err), b=b, d=d)
 
 
@@ -180,6 +181,7 @@ def main() -> None:
     check_fused_stats()
     check_fused_ce_grads(eps=0.0)    # lean kernel path
     check_fused_ce_grads(eps=0.1)    # full stats path + smoothing
+    check_fused_ce_grads(b=16384, eps=0.0)  # col-blocked kernels (B > VMEM cap)
     check_dense_table_grad()
     check_pallas_gather()
     check_sampled_step_determinism()

@@ -181,3 +181,73 @@ def test_fused_api_falls_back_off_tpu_at_kernel_shapes(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     m = fused_in_batch_metrics(n, c, temperature=0.3)
     assert 0.0 <= float(m["accuracy"]) <= 1.0
+
+
+class TestBlockedKernels:
+    """Col-blocked lean kernels (B beyond the VMEM-resident cap): the 2-D
+    grid with online row/col merges and the two-pass backward must match
+    the XLA loss. Envelopes are shrunk so the blocked path triggers at
+    CPU-testable shapes (the module-level jits re-trace per shape)."""
+
+    @pytest.fixture(autouse=True)
+    def small_envelope(self, monkeypatch):
+        import jodalrob_twotower_tpu.ops.fused_logits as fl
+
+        monkeypatch.setattr(fl, "_MAX_B", 256)
+        monkeypatch.setattr(fl, "_BN_BLOCKED", 256)
+        self.fl = fl
+
+    def _unit(self, rng, b, d):
+        x = rng.normal(size=(b, d)).astype(np.float32)
+        return jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+
+    @pytest.mark.parametrize("bound", ["norm", None])
+    def test_blocked_matches_xla(self, rng, bound):
+        fl = self.fl
+        tau = 0.3
+        n, c = self._unit(rng, 1024, 128), self._unit(rng, 1024, 128)
+        assert fl._blocked_supported(1024, 1024, 128)
+        max_abs = (1.0 / tau) if bound == "norm" else None
+
+        def f(a, b):
+            return fl.fused_bidirectional_ce(a, b, tau, 0.0, True, max_abs)
+
+        ref, _ = bidirectional_ce_loss(n, c, temperature=tau)
+        assert abs(float(f(n, c)) - float(ref)) < 1e-4
+        g_ref = jax.grad(
+            lambda a, b: bidirectional_ce_loss(a, b, temperature=tau)[0],
+            argnums=(0, 1),
+        )(n, c)
+        g = jax.grad(f, argnums=(0, 1))(n, c)
+        for a, b in zip(g_ref, g):
+            scale = float(jnp.max(jnp.abs(a)))
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-6 + 5e-3 * scale
+
+    def test_sharded_blocked_matches_xla(self, rng):
+        from jax.sharding import Mesh
+
+        fl = self.fl
+        tau = 0.5
+        n, c = self._unit(rng, 1024, 128), self._unit(rng, 1024, 128)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        f = fl.make_sharded_fused_ce(
+            mesh, "data", temperature=tau, max_abs_logit=1.0 / tau,
+            interpret=True,
+        )
+        ref, _ = bidirectional_ce_loss(n, c, temperature=tau)
+        assert abs(float(jax.jit(f)(n, c)) - float(ref)) < 1e-4
+        g_ref = jax.grad(
+            lambda a, b: bidirectional_ce_loss(a, b, temperature=tau)[0],
+            argnums=(0, 1),
+        )(n, c)
+        g = jax.grad(f, argnums=(0, 1))(n, c)
+        for a, b in zip(g_ref, g):
+            scale = float(jnp.max(jnp.abs(a)))
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-6 + 5e-3 * scale
+
+    def test_blocked_envelope(self):
+        fl = self.fl
+        assert not fl._blocked_supported(256, 256, 128)   # resident regime
+        assert fl._blocked_supported(512, 512, 128)
+        assert not fl._blocked_supported(512, 512, 64)    # lanes
+        assert not fl._blocked_supported(512, 1 << 18, 128)  # beyond cap
