@@ -241,7 +241,7 @@ def train_hostfed() -> None:
     import jax
 
     from jodalrob_twotower_tpu.config import LossConfig, ModelConfig, OptimizerConfig, TrainConfig
-    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, index_batches
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, index_stacks
     from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
     from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
     from jodalrob_twotower_tpu.schema import reference_shaped_schema
@@ -262,14 +262,6 @@ def train_hostfed() -> None:
     n_inner = 16
     steps_fn = make_scanned_train_steps(model, cfg, tx, n_inner)
 
-    def idx_stacks(seed):
-        stack = []
-        for idx in index_batches(ds.pairs, b, seed=seed, prefetch=2):
-            stack.append(idx)
-            if len(stack) == n_inner:
-                yield jax.numpy.stack(stack)
-                stack.clear()
-
     warm_idx = jax.device_put(np.broadcast_to(
         ds.pairs[:b].astype(np.int32), (n_inner, b, 2)).copy())
     state, m = steps_fn(state, warm_idx, n_store, c_store)
@@ -277,7 +269,7 @@ def train_hostfed() -> None:
     n_steps, steps, epoch = 160, 0, 0
     t0 = time.perf_counter()
     while steps < n_steps:
-        for stack in idx_stacks(epoch):
+        for stack in index_stacks(ds.pairs, b, n_inner, seed=epoch, prefetch=2):
             state, m = steps_fn(state, stack, n_store, c_store)
             steps += n_inner
             if steps >= n_steps:

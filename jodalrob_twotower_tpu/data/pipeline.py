@@ -179,6 +179,42 @@ def index_batches(
         yield buf.popleft()
 
 
+def index_stacks(
+    pairs: np.ndarray,
+    batch_size: int,
+    n_inner: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator[jax.Array]:
+    """Device-resident [n_inner, B, 2] int32 windows for scanned multi-step
+    dispatch (train_step.make_scanned_train_steps).
+
+    Each window is assembled CONTIGUOUSLY on host and shipped in ONE async
+    `jax.device_put` — versus stacking n_inner individually-transferred
+    [B, 2] arrays on device, which pays the tunnel's ~1 ms dispatch latency
+    n_inner+1 times per window. Keeping `prefetch` windows in flight
+    overlaps window k+1's H2D DMA with the device's execution of window k.
+    Trailing batches that don't fill a window are dropped (same epoch
+    semantics as drop_remainder)."""
+    def host_windows() -> Iterator[np.ndarray]:
+        buf: list[np.ndarray] = []
+        for idx in epoch_batches(pairs, batch_size, shuffle=shuffle, seed=seed):
+            buf.append(idx)
+            if len(buf) == n_inner:
+                yield np.stack(buf).astype(np.int32, copy=False)
+                buf.clear()
+
+    dq: collections.deque = collections.deque()
+    for w in host_windows():
+        dq.append(jax.device_put(w))
+        if len(dq) > prefetch:
+            yield dq.popleft()
+    while dq:
+        yield dq.popleft()
+
+
 def train_batches(
     notice_store: FeatureStore,
     company_store: FeatureStore,

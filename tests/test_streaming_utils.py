@@ -132,3 +132,23 @@ def test_device_flops_and_utilization():
     assert peak > 1e9  # even CPU does > 1 GFLOP/s
     u = utilization(step_time_s=1.0, flops_per_step=peak / 2, dtype="float32", n=256)
     assert u == pytest.approx(0.5, rel=1e-6)
+
+
+def test_index_stacks_windows_match_epoch_batches():
+    """index_stacks yields device [n_inner, B, 2] int32 windows that are
+    exactly epoch_batches(seed) grouped n_inner at a time, trailing partial
+    window dropped."""
+    from jodalrob_twotower_tpu.data.pipeline import epoch_batches, index_stacks
+
+    rng = np.random.default_rng(0)
+    pairs = rng.integers(0, 1000, size=(1000, 2)).astype(np.int64)
+    b, n_inner = 64, 4
+    windows = list(index_stacks(pairs, b, n_inner, seed=3, prefetch=2))
+    flat = [w for win in windows for w in np.asarray(win)]
+    want = list(epoch_batches(pairs, b, shuffle=True, seed=3))
+    # 1000 // 64 = 15 batches -> 3 full windows of 4; 3 batches dropped
+    assert len(windows) == 3 and len(flat) == 12
+    for win in windows:
+        assert win.shape == (n_inner, b, 2) and np.asarray(win).dtype == np.int32
+    for got, exp in zip(flat, want):
+        np.testing.assert_array_equal(got, exp.astype(np.int32))
