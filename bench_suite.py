@@ -11,6 +11,8 @@ adds the other BASELINE.json configs as evidence:
                                  batch 8192, dense-path rowwise Adagrad
   train_scaled_sparse          — same, O(batch) sparse-table updates
   train_scaled_sparse_deferred — same, one batched update per scan window
+  sparse_dedup_convergence     — exact vs per_occurrence duplicate handling
+                                 A/B (same init/batches) at 1.25M + 8k vocabs
   serving_exact                — brute-force MIPS QPS over 100k corpus, k=100
   serving_int8                 — int8 MIPS QPS + recall vs exact
   serving_int8_10m             — BASELINE config 5: 10M-row int8 corpus
@@ -162,6 +164,112 @@ def train_scaled(sparse: bool = False, deferred: bool = False,
         embedding_params=int(2 * table_rows * 64),
         batch=b,
     )
+
+
+def sparse_dedup_convergence(n_steps: int = 150) -> None:
+    """Convergence A/B of sparse_duplicate_handling on the real chip:
+    "exact" (segment-sum per unique row == dense autodiff semantics,
+    src/towers/cat_embed.py:156-178) vs "per_occurrence" (each duplicate
+    occurrence hits the Adagrad accumulator separately). Same init, same
+    batch sequence, two vocab scales:
+
+      - vocab 1.25M/feature (BASELINE config 3): ~1.7% of a batch's ids
+        collide — per_occurrence should track exact closely (why it is a
+        safe documented opt-out for deferred huge-vocab training).
+      - vocab 8k/feature: most rows are hit multiple times per batch —
+        the semantic drift becomes visible (why exact is the default).
+
+    Emits final-20-step mean loss + last-step in-batch accuracy per mode."""
+    import dataclasses
+
+    import jax
+
+    from jodalrob_twotower_tpu.config import (
+        LossConfig,
+        ModelConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, index_stacks
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.schema import (
+        CategoricalSpec,
+        NumericSpec,
+        SideSchema,
+        TwoTowerSchema,
+    )
+    from jodalrob_twotower_tpu.train.sparse_tables import (
+        create_sparse_train_state,
+        make_scanned_sparse_steps,
+        make_sparse_train_step,
+    )
+    from jodalrob_twotower_tpu.train.train_step import device_store
+
+    b, n_inner = 8192, 8
+
+    for vocab in (1_250_000, 8_192):
+        def side(table):
+            return SideSchema(
+                table=table,
+                pk=("id",),
+                numeric=tuple(NumericSpec(f"n{i}") for i in range(16)),
+                categorical=tuple(CategoricalSpec(f"c{i}", vocab) for i in range(8)),
+            )
+
+        schema = TwoTowerSchema(notice=side("notice"), company=side("company"))
+        ds = make_synthetic_dataset(
+            schema, n_notices=100_000, n_companies=100_000,
+            n_pairs=4 * b, n_clusters=64, seed=0,
+        )
+        n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+        warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+
+        results = {}
+        for mode in ("exact", "per_occurrence"):
+            cfg = TrainConfig(
+                model=ModelConfig(categorical_embedding_dim=64,
+                                  dense_projection_dim=128,
+                                  tower_hidden_dims=(512, 256),
+                                  final_embedding_dim=128,
+                                  dropout_rate=0.0),
+                loss=LossConfig(temperature=0.1, use_fused_logits=True),
+                optimizer=OptimizerConfig(learning_rate=3e-3,
+                                          sparse_duplicate_handling=mode),
+            )
+            model = TwoTowerModel(schema, cfg.model)
+            state, tx = create_sparse_train_state(
+                model, cfg, jax.random.PRNGKey(0), warm, n_steps
+            )
+            steps_fn = make_scanned_sparse_steps(model, cfg, tx, n_steps, n_inner)
+            losses = []
+            steps = 0
+            epoch = 0
+            while steps < n_steps:
+                for stack in index_stacks(ds.pairs, b, n_inner, seed=epoch):
+                    state, m = steps_fn(state, stack, n_store, c_store)
+                    losses.append(m["loss"])
+                    steps += n_inner
+                    if steps >= n_steps:
+                        break
+                epoch += 1
+            loss_tail = float(np.mean(np.concatenate(
+                [np.asarray(l) for l in losses])[-20:]))
+            # final in-batch accuracy probe on a FIXED batch (state discarded)
+            probe = make_sparse_train_step(
+                model, cfg, tx, n_steps, with_metrics=True, donate=False
+            )
+            _, pm = probe(state, jax.device_put(ds.pairs[:b].astype(np.int32)),
+                          n_store, c_store)
+            acc_last = float(pm["accuracy"])
+            results[mode] = (loss_tail, acc_last)
+            _emit("sparse_dedup_convergence", vocab_per_feature=vocab, mode=mode,
+                  steps=steps, final_loss_mean20=round(loss_tail, 4),
+                  final_accuracy=round(acc_last, 4), batch=b)
+        drift = results["per_occurrence"][0] - results["exact"][0]
+        _emit("sparse_dedup_convergence_delta", vocab_per_feature=vocab,
+              loss_drift=round(drift, 4),
+              acc_drift=round(results["per_occurrence"][1] - results["exact"][1], 4))
 
 
 def train_hostfed_features(n_batches: int = 24, prefetch: int = 2) -> None:
@@ -559,6 +667,7 @@ BENCHES = {
     "train_scaled_sparse_deferred": lambda: train_scaled(sparse=True, deferred=True),
     "train_scaled_sparse_deferred_peroc": lambda: train_scaled(
         sparse=True, deferred=True, dedup="per_occurrence"),
+    "sparse_dedup_convergence": sparse_dedup_convergence,
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),
     "serving_int8_10m": lambda: serving_10m("int8"),
