@@ -101,9 +101,24 @@ def build_create_preprocessed(
     vector_dims: Mapping[str, int],
     *,
     replace: bool = True,
+    pk_cols: Sequence[str] = (),
 ) -> list[str]:
-    """DDL for ``{schema}.{table}`` with scalar + vector columns."""
-    cols = [f"{_quote_ident(c)} {t}" for c, t in column_types.items()]
+    """DDL for ``{schema}.{table}`` with scalar + vector columns.
+
+    ``pk_cols`` are forced to ``text NOT NULL`` (Korean bid/biz numbers have
+    leading zeros a bigint round-trip would drop) and get a PRIMARY KEY
+    constraint, matching the reference's table shape
+    (upload_database.py:138-196)."""
+    pk_set = set(pk_cols)
+    unknown = pk_set - set(column_types)
+    if unknown:
+        raise ValueError(f"pk_cols not in column_types: {sorted(unknown)}")
+    cols = [
+        f"{_quote_ident(c)} text NOT NULL"
+        if c in pk_set
+        else f"{_quote_ident(c)} {t}"
+        for c, t in column_types.items()
+    ]
     cols += [
         f"{_quote_ident(base)} vector({int(d)})" for base, d in vector_dims.items()
     ]
@@ -112,6 +127,12 @@ def build_create_preprocessed(
     if replace:
         stmts.append(f"DROP TABLE IF EXISTS {qualified};")
     stmts.append(f"CREATE TABLE IF NOT EXISTS {qualified} ({', '.join(cols)});")
+    if pk_cols:
+        key = ", ".join(_quote_ident(c) for c in pk_cols)
+        stmts.append(
+            f"ALTER TABLE {qualified} ADD CONSTRAINT "
+            f"{_quote_ident(f'{table}_pkey')} PRIMARY KEY ({key});"
+        )
     return stmts
 
 
@@ -159,9 +180,19 @@ def _chunk_layout(chunk: Mapping[str, np.ndarray]):
 def _block_literals(block: np.ndarray) -> list[str]:
     """Per-row quoted pgvector literals for a [N, D] float block, formatted
     columnar in C (%.9g round-trips float32 exactly) instead of a Python
-    loop per element — chunks are 50k rows x 768 dims."""
-    strs = np.char.mod("%.9g", block.astype(np.float64))
-    return ['"[' + ",".join(row) + ']"' for row in strs]
+    loop per element — chunks are 50k rows x 768 dims.
+
+    Rows containing any non-finite value become NULL (``\\N``): pgvector
+    rejects 'nan'/'inf' literals and one bad row would abort the whole
+    COPY, so match the reference's NULL-on-non-finite behavior
+    (upload_database.py _collapse_embeddings)."""
+    block = block.astype(np.float64)
+    finite = np.all(np.isfinite(block), axis=1)
+    strs = np.char.mod("%.9g", block)
+    return [
+        '"[' + ",".join(row) + ']"' if ok else "\\N"
+        for row, ok in zip(strs, finite)
+    ]
 
 
 def _chunk_csv(
@@ -195,10 +226,18 @@ class PreprocessedUploader:
         up.commit()
     """
 
-    def __init__(self, conn, *, schema: str = "public", replace: bool = True):
+    def __init__(
+        self,
+        conn,
+        *,
+        schema: str = "public",
+        replace: bool = True,
+        pk_cols: Sequence[str] = (),
+    ):
         self.conn = conn
         self.schema = schema
         self.replace = replace
+        self.pk_cols = tuple(pk_cols)
         self._created: set[str] = set()
         self._layout: dict[str, tuple[list[str], dict[str, int]]] = {}
 
@@ -215,6 +254,7 @@ class PreprocessedUploader:
             }
             for stmt in build_create_preprocessed(
                 self.schema, table, types, vector_dims, replace=self.replace,
+                pk_cols=[c for c in self.pk_cols if c in types],
             ):
                 cur.execute(stmt)
             self._created.add(table)
@@ -267,7 +307,12 @@ def execute_vector_update(
         for row in rows:
             *pks, vec = row
             fields = [_csv_field(p) for p in pks]
-            fields.append('"' + vector_literal(vec) + '"')
+            vals = np.asarray(list(vec), dtype=np.float64)
+            # NULL-on-non-finite, same contract as _block_literals
+            if np.all(np.isfinite(vals)):
+                fields.append('"' + vector_literal(vals) + '"')
+            else:
+                fields.append("\\N")
             copy.write(",".join(fields) + "\n")
             n += 1
     cur.execute(stmts["update"])

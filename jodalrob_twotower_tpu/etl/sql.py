@@ -270,16 +270,20 @@ class DatabaseConnector:
         *,
         schema: str = "public",
         replace: bool = True,
+        pk_cols: Sequence[str] = (),
     ) -> int:
         """EXECUTE the preprocessed-table write-back: create
         ``{table}_preprocessed``-style tables with inferred types +
-        collapsed pgvector columns, COPY every chunk (reference
-        upload_database.py:64-102; logic in etl/pg_writeback.py)."""
+        collapsed pgvector columns (PKs as text NOT NULL + PRIMARY KEY),
+        COPY every chunk (reference upload_database.py:64-102; logic in
+        etl/pg_writeback.py)."""
         from jodalrob_twotower_tpu.etl.pg_writeback import PreprocessedUploader
 
         conn = self.pg_connection()
         try:
-            up = PreprocessedUploader(conn, schema=schema, replace=replace)
+            up = PreprocessedUploader(
+                conn, schema=schema, replace=replace, pk_cols=pk_cols
+            )
             total = 0
             for chunk in chunks:
                 total += up.upload_chunk(table, chunk)

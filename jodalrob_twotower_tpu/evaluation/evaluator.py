@@ -94,13 +94,24 @@ class Evaluator:
         (index-building path; reference two_tower_model.py:102-108)."""
         encode = self._encode_company if side == "company" else self._encode_notice
         n = store_dense.shape[0]
-        chunks = []
-        for start in range(0, n, batch_size):
-            tb = TowerBatch(
-                dense=jnp.asarray(store_dense[start : start + batch_size]),
-                cat_ids=jnp.asarray(store_cat[start : start + batch_size]),
+        starts = list(range(0, n, batch_size))
+
+        def stage(start: int) -> TowerBatch:
+            # async H2D: the transfer is enqueued and returns immediately,
+            # so staging chunk k+1 BEFORE dispatching encode(k) overlaps
+            # host->device copy with compute (double buffering) — at 10M
+            # rows this is ~1,200 sequential dispatches on a ~1 ms-latency
+            # link, so serialization here is the whole wall clock
+            return TowerBatch(
+                dense=jax.device_put(store_dense[start : start + batch_size]),
+                cat_ids=jax.device_put(store_cat[start : start + batch_size]),
             )
-            chunks.append(encode(state, tb))
+
+        chunks = []
+        nxt = stage(starts[0]) if starts else None
+        for i in range(len(starts)):
+            cur, nxt = nxt, (stage(starts[i + 1]) if i + 1 < len(starts) else None)
+            chunks.append(encode(state, cur))
         return jnp.concatenate(chunks, axis=0)
 
 

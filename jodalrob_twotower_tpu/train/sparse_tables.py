@@ -185,6 +185,11 @@ def segment_sum_duplicates(rows: jax.Array, grads: jax.Array, sentinel: int):
         )
     # every occurrence of a row writes the SAME value into its segment slot
     unique_rows = jnp.full((n,), sentinel, rows.dtype).at[seg].set(rs)
+    if n >= _DEDUP_CUMSUM_MIN_ROWS:
+        # the cumsum-difference form leaves cs[0]-cs[n-1] garbage in unused
+        # slots; honor the documented zero-grads-in-padding contract (the
+        # segment_sum branch zeroes them by construction)
+        g_sum = jnp.where((unique_rows != sentinel)[:, None], g_sum, 0.0)
     return unique_rows, g_sum
 
 
@@ -236,6 +241,7 @@ def make_sparse_train_step(
     jit: bool = True,
     defer_table_updates: bool = False,
     mesh=None,
+    store_gather=None,
 ):
     """Indexed train step over device-resident stores with sparse tables.
 
@@ -246,6 +252,10 @@ def make_sparse_train_step(
     compact per-occurrence rows/cotangents in the metrics dict (keys
     ``rows_n``, ``g_n``, ``rows_c``, ``g_c``) so a scan wrapper can apply
     one batched update per window (`make_deferred_sparse_steps`).
+
+    ``store_gather(store, rows [B]) -> TowerBatch`` overrides the plain
+    ``jnp.take`` batch assembly (row-sharded store mode,
+    parallel/sharded_store.py).
     """
     n_vocabs = model.schema.notice.vocab_sizes
     c_vocabs = model.schema.company.vocab_sizes
@@ -260,20 +270,19 @@ def make_sparse_train_step(
 
     sharded_ce = make_sharded_ce(cfg, mesh)
 
+    def default_gather(store, rows):
+        dense, cat = store
+        return TowerBatch(
+            dense=jnp.take(dense, rows, axis=0),
+            cat_ids=jnp.take(cat, rows, axis=0),
+        )
+
+    gather = store_gather if store_gather is not None else default_gather
+
     def step_fn(state: SparseTrainState, pair_idx, notice_store, company_store):
-        n_dense, n_cat = notice_store
-        c_dense, c_cat = company_store
-        n_rows_b = pair_idx[:, 0]
-        c_rows_b = pair_idx[:, 1]
         batch = PairBatch(
-            notice=TowerBatch(
-                dense=jnp.take(n_dense, n_rows_b, axis=0),
-                cat_ids=jnp.take(n_cat, n_rows_b, axis=0),
-            ),
-            company=TowerBatch(
-                dense=jnp.take(c_dense, c_rows_b, axis=0),
-                cat_ids=jnp.take(c_cat, c_rows_b, axis=0),
-            ),
+            notice=gather(notice_store, pair_idx[:, 0]),
+            company=gather(company_store, pair_idx[:, 1]),
         )
         b = pair_idx.shape[0]
         # lookups outside autodiff -> compact activation cotangents
@@ -437,13 +446,14 @@ def deferred_sparse_steps_fn(
     tx: optax.GradientTransformation,
     total_steps: int,
     mesh=None,
+    store_gather=None,
 ):
     """The unjitted deferred-window scan body (see make_deferred_sparse_steps).
 
     Exposed so parallel/sharded_sparse.py can jit it with mesh shardings."""
     inner = make_sparse_train_step(
         model, cfg, tx, total_steps, jit=False, with_metrics=False,
-        defer_table_updates=True, mesh=mesh,
+        defer_table_updates=True, mesh=mesh, store_gather=store_gather,
     )
     emb_lr = cfg.optimizer.embedding_learning_rate or cfg.optimizer.learning_rate
     emb_schedule = warmup_constant_schedule(

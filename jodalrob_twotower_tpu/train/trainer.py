@@ -173,6 +173,37 @@ class Trainer:
             scan_steps = make_scanned_train_steps(self.model, cfg, tx, n_inner)
             single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
 
+        sampled_steps: dict[int, Callable] = {}
+        if cfg.data.sample_on_device:
+            # ON-DEVICE IID sampling (the headline-bench path, bench.py): the
+            # host sends one PRNG key per dispatch; batches are drawn with
+            # replacement from the device-resident pair set by a key folded
+            # with the GLOBAL step — so draws are a pure function of the step
+            # counter and mid-epoch resume replays the exact same batches.
+            if batch_source is not None:
+                raise ValueError(
+                    "sample_on_device needs the whole pair set device-resident; "
+                    "it is incompatible with streaming batch sources"
+                )
+            if cfg.sparse_tables or self.mesh is not None:
+                raise NotImplementedError(
+                    "sample_on_device currently supports the single-device "
+                    "dense path (the configuration bench.py measures); use "
+                    "the host-fed scanned path for mesh/sparse runs"
+                )
+            from jodalrob_twotower_tpu.train.train_step import (
+                make_sampled_train_steps,
+            )
+
+            def sampled_fn(k: int) -> Callable:
+                if k not in sampled_steps:
+                    sampled_steps[k] = make_sampled_train_steps(
+                        self.model, cfg, tx, k, b
+                    )
+                return sampled_steps[k]
+
+            sampled_fn(n_inner)  # the main dispatch size
+
         if cfg.sparse_tables:
             from jodalrob_twotower_tpu.train.sparse_tables import merged_params
 
@@ -214,10 +245,28 @@ class Trainer:
         # device-resident stores; indices are the only per-step H2D traffic.
         # Dense blocks live at the compute dtype (config device_store_dtype)
         store_dt = self._device_store_dtype()
-        n_store = device_store(self.notice_store, dtype=store_dt)
-        c_store = device_store(self.company_store, dtype=store_dt)
         if put_store is not None:
-            n_store, c_store = put_store(n_store), put_store(c_store)
+            # mesh modes place stores themselves (replicated, or row-sharded
+            # under store_sharding="rows"); hand them HOST matrices so a
+            # row-sharded store never materializes whole on one chip (the
+            # too-big-to-replicate case is the mode's entire point)
+            def _host_store(fs):
+                dense = np.asarray(fs.dense)
+                if store_dt is not None:
+                    dense = dense.astype(store_dt)
+                return (dense, np.asarray(fs.cat_ids))
+
+            n_store = put_store(_host_store(self.notice_store))
+            c_store = put_store(_host_store(self.company_store))
+        else:
+            n_store = device_store(self.notice_store, dtype=store_dt)
+            c_store = device_store(self.company_store, dtype=store_dt)
+        pairs_dev = None
+        if sampled_steps:
+            if not len(train_pairs):
+                raise ValueError("sample_on_device requires a non-empty pair set")
+            pairs_dev = jax.device_put(train_pairs.astype(np.int32))
+            sample_key = jax.random.PRNGKey(cfg.data.shuffle_seed)
 
         history: list[dict] = []
         examples_per_sec = 0.0
@@ -234,13 +283,40 @@ class Trainer:
             # — recorded in mid-epoch checkpoints so resume is exact even
             # when an epoch's true batch count differs from steps_per_epoch
             batches_done = skip_batches
-            batch_iter = (
-                batch_source(epoch)
-                if batch_source is not None
-                else epoch_batches(
-                    train_pairs, b, shuffle=True, seed=cfg.data.shuffle_seed + epoch
+            if pairs_dev is not None:
+                # sampled mode: no host iterator at all — dispatch
+                # steps_per_epoch on-device IID draws (resume just runs the
+                # remaining steps; draws key on the global step counter)
+                steps_todo = steps_per_epoch - skip_batches
+                skip_batches = 0
+                while steps_todo > 0:
+                    k = min(n_inner, steps_todo)
+                    state, metrics = sampled_fn(k)(
+                        state, sample_key, pairs_dev, n_store, c_store
+                    )
+                    if first_dispatch:
+                        float(np.asarray(metrics["loss"])[-1])  # wait for compile
+                        t0 = time.perf_counter()
+                        seen = 0
+                        first_dispatch = False
+                    else:
+                        seen += k * b
+                    losses.append(metrics["loss"])
+                    batches_done += k
+                    steps_since_save += k
+                    steps_todo -= k
+                    if save_every and steps_since_save >= save_every:
+                        ckpt.save_step(state, epoch, batches_done)
+                        steps_since_save = 0
+                batch_iter = ()
+            else:
+                batch_iter = (
+                    batch_source(epoch)
+                    if batch_source is not None
+                    else epoch_batches(
+                        train_pairs, b, shuffle=True, seed=cfg.data.shuffle_seed + epoch
+                    )
                 )
-            )
             for idx in batch_iter:
                 if skip_batches:  # mid-epoch resume: the epoch iterator is
                     skip_batches -= 1  # seeded, so dropping the first N
@@ -397,12 +473,24 @@ class Trainer:
         """One-time sanity check that every row of an index batch is a known
         positive pair (the reference ran an equivalent alignment check on its
         first batch, two_tower_train_task.py:253-293)."""
-        known = set(map(tuple, pairs.tolist()))
-        bad = [tuple(r) for r in batch_idx.tolist() if tuple(r) not in known]
-        if bad:
+        def _pack(a: np.ndarray) -> np.ndarray:
+            # row indices are non-negative ints < 2^32: pack (i, j) into one
+            # int64 so membership is a sorted-array searchsorted instead of
+            # a Python set of ALL pairs (gigabytes of host tuples at the
+            # 10M-pair scale, for a one-time check on a few hundred rows)
+            a = np.asarray(a, dtype=np.int64)
+            return (a[:, 0] << np.int64(32)) | a[:, 1]
+
+        known = np.sort(_pack(pairs))
+        keys = _pack(batch_idx)
+        pos = np.searchsorted(known, keys)
+        pos = np.minimum(pos, len(known) - 1)
+        ok = known[pos] == keys
+        if not ok.all():
+            first = tuple(np.asarray(batch_idx)[~ok][0].tolist())
             raise AssertionError(
-                f"{len(bad)}/{len(batch_idx)} batch rows are not known positive "
-                f"pairs (first: {bad[0]}) - input pipeline misaligned"
+                f"{int((~ok).sum())}/{len(batch_idx)} batch rows are not known "
+                f"positive pairs (first: {first}) - input pipeline misaligned"
             )
 
     def _eval_view(self, state):

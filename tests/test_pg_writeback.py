@@ -97,6 +97,59 @@ def test_build_create_preprocessed_ddl():
     )
 
 
+def test_build_create_preprocessed_pk_cols():
+    """PK columns become text NOT NULL (leading-zero ids survive the round
+    trip) + a PRIMARY KEY constraint (reference upload_database.py table
+    shape)."""
+    stmts = build_create_preprocessed(
+        "public", "notice_preprocessed",
+        {"bidntceno": "bigint", "bidntceord": "bigint", "v": "double precision"},
+        {}, pk_cols=["bidntceno", "bidntceord"],
+    )
+    create = next(s for s in stmts if s.startswith("CREATE TABLE"))
+    assert '"bidntceno" text NOT NULL' in create
+    assert '"bidntceord" text NOT NULL' in create
+    assert '"v" double precision' in create
+    alter = stmts[-1]
+    assert alter.startswith("ALTER TABLE")
+    assert 'PRIMARY KEY ("bidntceno", "bidntceord")' in alter
+    with pytest.raises(ValueError, match="pk_cols not in"):
+        build_create_preprocessed("s", "t", {"a": "bigint"}, {}, pk_cols=["zz"])
+
+
+def test_uploader_nonfinite_vector_rows_null():
+    """A vector row containing NaN/Inf lands as \\N, not a 'nan' literal
+    pgvector would reject and abort the COPY on (reference
+    upload_database.py _collapse_embeddings NULL-on-non-finite)."""
+    conn = FakeConn()
+    up = PreprocessedUploader(conn, pk_cols=["pk"])
+    chunk = {
+        "pk": np.asarray(["a", "b", "c"], object),
+        "title_emb000": np.asarray([0.1, float("nan"), 0.3], np.float32),
+        "title_emb001": np.asarray([1.0, 2.0, float("inf")], np.float32),
+    }
+    up.upload_chunk("t", chunk)
+    payload = "".join(next(e[2] for e in conn.log if e[0] == "copy"))
+    lines = payload.strip().split("\n")
+    assert lines[0].startswith('a,"[')
+    assert lines[1] == "b,\\N"
+    assert lines[2] == "c,\\N"
+    executes = [s for e, *rest in conn.log if e == "execute" for s in rest]
+    assert any("PRIMARY KEY" in s for s in executes)
+
+
+def test_vector_update_nonfinite_rows_null():
+    conn = FakeConn()
+    execute_vector_update(
+        conn, schema="s", table="t", pk_cols=["pk"], vec_col="v",
+        rows=[("a", [1.0, 2.0]), ("b", [float("nan"), 1.0])], dims=2,
+    )
+    payload = "".join(next(e[2] for e in conn.log if e[0] == "copy"))
+    lines = payload.strip().split("\n")
+    assert lines[0] == 'a,"[1.0,2.0]"'
+    assert lines[1] == "b,\\N"
+
+
 def test_uploader_create_and_copy_flow():
     conn = FakeConn()
     up = PreprocessedUploader(conn, schema="public")

@@ -111,6 +111,10 @@ def test_segment_sum_duplicates_cumsum_branch(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_cs)[valid], dense[np.asarray(u_cs)[valid]], rtol=2e-4, atol=1e-5
     )
+    # documented contract: unused padding slots carry zero grads in BOTH
+    # branches (the cumsum form must mask its cs-difference garbage)
+    assert np.all(np.asarray(g_cs)[~valid] == 0.0)
+    assert np.all(np.asarray(g_ref)[~valid] == 0.0)
 
 
 def test_sparse_adagrad_update_exact_with_duplicates():
