@@ -46,6 +46,16 @@ def parse_args(argv=None):
         "(for pair sets larger than host memory); val pairs still load",
     )
     p.add_argument(
+        "--sample-on-device",
+        action="store_true",
+        help="draw batches ON DEVICE, IID with replacement, from the "
+        "HBM-resident pair set (one PRNG key per dispatch instead of an "
+        "index stack) — the headline-bench configuration (bench.py, "
+        "2.3 ms/step at B=8192 vs 3.2 host-fed). Epochs are "
+        "steps_per_epoch IID draws rather than a without-replacement "
+        "permutation pass. Incompatible with --stream/--mesh-devices",
+    )
+    p.add_argument(
         "--mesh-devices",
         type=int,
         help="train over an N-device mesh (tables row-sharded, batch dim "
@@ -76,6 +86,13 @@ def main(argv=None) -> int:
         cfg = cfg.replace(
             checkpoint=dataclasses.replace(cfg.checkpoint, save_every_steps=args.save_every_steps)
         )
+    if args.sample_on_device:
+        if args.stream or args.mesh_devices:
+            raise SystemExit(
+                "--sample-on-device needs the whole pair set device-resident "
+                "on one chip; it is incompatible with --stream/--mesh-devices"
+            )
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, sample_on_device=True))
 
     if args.synthetic or not args.data_dir:
         from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
