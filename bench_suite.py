@@ -549,10 +549,36 @@ def serving_10m(kind: str = "int8", n_corpus: int = 10_000_000,
     _emit(name, qps=round(out["qps"], 1), k=k,
           corpus_size=n_corpus, corpus_gb=round(gb, 2),
           latency_ms_per_batch=round(out["latency_ms_per_batch"], 1), **extra)
+    return extra.get("recall_vs_exact_at100")
+
+
+def serving_10m_auto(target: float = 0.99) -> None:
+    """`--target-recall`-style auto-config (serving/autoconfig.py): run the
+    chooser for the target, then the full 10M bench with the chosen config,
+    asserting the MEASURED recall meets the target within the documented
+    window tolerance."""
+    from jodalrob_twotower_tpu.serving.autoconfig import choose_serving_config
+
+    chosen = choose_serving_config(target)
+    _emit("serving_auto_choice", target_recall=target,
+          chosen=" ".join(chosen.cli_flags()),
+          expected_recall=chosen.expected_recall)
+    measured = serving_10m(
+        kind=chosen.index_kind,
+        rescore_depth=chosen.rescore_depth,
+        approx_recall=chosen.approx_recall if chosen.approx_recall else 0.97,
+    )
+    ok = measured is not None and measured >= target - 0.005
+    _emit("serving_auto_meets_target", target_recall=target,
+          measured_recall=measured, ok=bool(ok))
+    if not ok:
+        raise RuntimeError(
+            f"auto-config missed the recall target: {measured} < {target}"
+        )
 
 
 def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0,
-                   include_xla: bool = True) -> None:
+                   include_xla: bool = True, eps: float = 0.0) -> None:
     """Loss-path comparison ON THE REAL CHIP: XLA [B,B] materializing path
     vs the single-device fused kernels vs the shard_mapped fused wrapper on
     a 1-device mesh (same kernels + the degenerate collectives, so the
@@ -581,16 +607,22 @@ def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0,
     c = jnp.roll(n, 1, axis=0)
     mesh1 = make_mesh(jax.devices()[:1])
     sharded = make_sharded_fused_ce(
-        mesh1, DATA_AXIS, temperature=tau, max_abs_logit=1.0 / tau
+        mesh1, DATA_AXIS, temperature=tau, label_smoothing=eps,
+        max_abs_logit=1.0 / tau,
     )
 
     paths = {
-        "xla": lambda a, bb: bidirectional_ce_loss(a, bb, temperature=tau)[0],
-        "fused": lambda a, bb: fused_bidirectional_ce(a, bb, tau, 0.0, False, 1.0 / tau),
+        "xla": lambda a, bb: bidirectional_ce_loss(
+            a, bb, temperature=tau, label_smoothing=eps, use_fused=False
+        )[0],
+        "fused": lambda a, bb: fused_bidirectional_ce(
+            a, bb, tau, eps, False, 1.0 / tau
+        ),
         "fused_sharded_mesh1": sharded,
     }
     if not include_xla:
         del paths["xla"]
+    suffix = f"_eps{eps}" if eps else ""
     n_inner, reps = 16, 6
     for name, fn in paths.items():
         def val_and_grads(a, bb, fn=fn):
@@ -612,7 +644,29 @@ def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0,
             out = scan16(n, c)
         float(out)
         dt = (time.perf_counter() - t0) / (reps * n_inner)
-        _emit(f"fused_ce_{name}", ms_per_loss_plus_grads=round(dt * 1e3, 3), batch=b)
+        _emit(f"fused_ce_{name}{suffix}", ms_per_loss_plus_grads=round(dt * 1e3, 3),
+              batch=b)
+
+
+def train_rowsharded_store() -> None:
+    """Row-sharded feature stores (store_sharding="rows") at a
+    too-big-to-replicate store size, on the 8-virtual-CPU-device mesh in a
+    subprocess (this process is pinned to the 1-chip TPU tunnel). Emits
+    per-device residency (1/8 of the replicated bytes) and a CPU step-time
+    control vs the replicated mode — scripts/rowsharded_store_bench.py."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "scripts/rowsharded_store_bench.py"],
+        text=True, timeout=1200, env=env, capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    print(proc.stdout, end="", flush=True)
 
 
 def serving_sharded_mesh() -> None:
@@ -677,10 +731,18 @@ BENCHES = {
     "serving_int8_10m_k10": lambda: serving_10m("int8", k=10),
     "serving_int8_10m_k10_pd4": lambda: serving_10m("int8", k=10, pipeline_depth=4),
     "serving_int8_10m_pd4": lambda: serving_10m("int8", pipeline_depth=4),
+    "serving_10m_auto099": lambda: serving_10m_auto(0.99),
     "serving_sharded_mesh": serving_sharded_mesh,
+    "train_rowsharded_store": train_rowsharded_store,
     "fused_ce_paths": fused_ce_paths,
     "fused_ce_paths_b16384": lambda: fused_ce_paths(b=16384),
     "fused_ce_paths_b32768": lambda: fused_ce_paths(b=32768, include_xla=False),
+    # label smoothing beyond the resident cap (col-blocked stats kernels,
+    # VERDICT r2 #1): XLA control at 16384 (25.9 ms there), none at 32768
+    # where the [B,B] blob cannot run
+    "fused_ce_paths_eps_b16384": lambda: fused_ce_paths(b=16384, eps=0.1),
+    "fused_ce_paths_eps_b32768": lambda: fused_ce_paths(
+        b=32768, eps=0.1, include_xla=False),
     "corpus_eval": corpus_eval,
 }
 

@@ -206,13 +206,23 @@ def fused_stats(
     interpret: bool = False,
     force_xla: bool = False,
 ) -> FusedStats:
-    """All similarity-matrix statistics without materializing it in HBM."""
+    """All similarity-matrix statistics without materializing it in HBM.
+
+    Dispatch: VMEM-resident kernel up to B=8192, col-blocked kernel beyond
+    (to B=65536), XLA fallback outside both envelopes (or off-TPU)."""
     n_scaled = n.astype(jnp.float32) / temperature
     c = c.astype(jnp.float32)
     b, d = n_scaled.shape
-    if force_xla or not _supported(b, d) or not _kernel_ok(interpret):
+    if force_xla or not _kernel_ok(interpret):
         return _stats_xla(n_scaled, c)
-    row_stats, col_stats = _fused_stats_call(n_scaled, c, interpret=interpret)
+    if _supported(b, d):
+        row_stats, col_stats = _fused_stats_call(n_scaled, c, interpret=interpret)
+    elif _blocked_supported(b, b, d):
+        row_stats, col_stats = _fused_stats_blocked_call(
+            n_scaled, c, interpret=interpret
+        )
+    else:
+        return _stats_xla(n_scaled, c)
     return FusedStats(
         row_lse=row_stats[:, 0],
         row_sum=row_stats[:, 1],
@@ -356,8 +366,10 @@ def _fused_lean_call(n_scaled, c, *, interpret: bool = False,
 # backward runs as TWO passes so every accumulator is a consecutively
 # revisited block: dn with cols inner, dc with rows inner — recomputing S
 # twice costs FLOPs, which this chip has to spare (the O(B²) HBM blob is
-# the thing being avoided). Only the lean loss (label_smoothing == 0) gets
-# blocked variants; the stats/metrics surface keeps the resident envelope.
+# the thing being avoided). BOTH surfaces get blocked variants: the lean
+# loss (label_smoothing == 0) and, via _fwd_stats_blocked_kernel below, the
+# full stats surface (smoothing loss + fused metrics) — the backward's
+# ∂L/∂S tile carries the eps term either way.
 
 _BN_BLOCKED = 1024  # col-block width (the [bm, bn] f32 tile: 512 KB)
 _MAX_B_BLOCKED = 65536  # col-scratch [1, B] f32 x2 = 0.5 MB; plenty of slack
@@ -501,6 +513,184 @@ def _fused_lean_blocked_call(n_scaled, c, *, interpret: bool = False,
         interpret=interpret,
     )(n_scaled.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
     return row_lse[:, 0], col_lse[0]
+
+
+def _diag_mxu_kernel(n_ref, c_ref, out_ref):
+    """diag_i = S_ii via the SAME MXU dot the stats tiles use.
+
+    A VPU rowsum of the elementwise product (the lean path's diag) differs
+    from the MXU's systolic f32 accumulation by ~1 ulp-to-1e-3 relative —
+    harmless for the loss, but rank counts every S_ij in that window around
+    the diagonal: at B=16384 that measured ~20 miscounted positions per row
+    on hardware (tpu_selftest r3). Each MXU output element is an independent
+    dot over D in fixed systolic order, so s_ii from this [bm, bm] dot is
+    bitwise the value the [bm, bn] stats tile produces."""
+    s = jnp.dot(
+        n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32
+    )  # [bm, bm]
+    rr = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    out_ref[:, :] = jnp.sum(jnp.where(rr == cc, s, 0.0), axis=1, keepdims=True)
+
+
+def _diag_mxu_call(nb, cb_aligned, *, interpret: bool = False):
+    """[rows, 1] f32 diagonal from bf16 row-aligned operands."""
+    rows, d = nb.shape
+    bm = _BM if rows % _BM == 0 else rows
+    return pl.pallas_call(
+        _diag_mxu_kernel,
+        grid=(rows // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        interpret=interpret,
+    )(nb, cb_aligned)
+
+
+def _fwd_stats_blocked_kernel(
+    n_ref, c_ref, diag_ref, off_ref, row_ref, col_ref,
+    rowm_ref, rowe_ref, rowsum_ref, rowrank_ref,
+    colm_ref, cole_ref, colsum_ref,
+):
+    """Col-blocked FULL stats forward: the 2-D-grid online machinery of the
+    lean blocked kernel extended to the whole stats surface (row/col lse +
+    sum, diag, rank), lifting the B=8192 VMEM-resident cap for the
+    label-smoothing loss and the fused metrics to B=65536.
+
+    Grid (rows/bm, B/bn), cols inner. ``diag_ref`` [bm, 1] (row-indexed) is
+    the PRECOMPUTED S_ii (rank needs the diagonal *before* the col sweep
+    reaches its block, so it can't come from the in-kernel S). It comes
+    from _diag_mxu_kernel — the same MXU dot as the tiles, so it is bitwise
+    the tile's own s_ii; the diagonal position is additionally EXCLUDED
+    from the rank count by index, never by value comparison.
+
+    Outputs: row_ref [bm, 4] (lse, sum, diag, rank — finalized on the last
+    col block); col_ref [2, B] (lse, sum — each col slice finalized on the
+    last row block). Scratch: four [bm, 1] row accumulators + three [1, B]
+    col accumulators (persist across the whole grid; 0.75 MB at B=65536).
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    nj = pl.num_programs(1)
+    bm = n_ref.shape[0]
+    bn = c_ref.shape[0]
+    s = jnp.dot(n_ref[:, :], c_ref[:, :].T, preferred_element_type=jnp.float32)
+
+    # --- row online stats across the col sweep -----------------------------
+    @pl.when(j == 0)
+    def _():
+        rowm_ref[:, :] = jnp.full_like(rowm_ref, _NEG_INF)
+        rowe_ref[:, :] = jnp.zeros_like(rowe_ref)
+        rowsum_ref[:, :] = jnp.zeros_like(rowsum_ref)
+        rowrank_ref[:, :] = jnp.zeros_like(rowrank_ref)
+
+    bmax = jnp.max(s, axis=1, keepdims=True)
+    newm = jnp.maximum(rowm_ref[:, :], bmax)
+    rowe_ref[:, :] = rowe_ref[:, :] * jnp.exp(rowm_ref[:, :] - newm) + jnp.sum(
+        jnp.exp(s - newm), axis=1, keepdims=True
+    )
+    rowm_ref[:, :] = newm
+    rowsum_ref[:, :] += jnp.sum(s, axis=1, keepdims=True)
+    rr = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    is_diag = cc + j * bn == rr + i * bm + off_ref[0]
+    rowrank_ref[:, :] += jnp.sum(
+        jnp.where(jnp.logical_and(jnp.logical_not(is_diag), s > diag_ref[:, :]), 1.0, 0.0),
+        axis=1,
+        keepdims=True,
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        row_ref[:, :] = jnp.concatenate(
+            [
+                jnp.log(rowe_ref[:, :]) + rowm_ref[:, :],
+                rowsum_ref[:, :],
+                diag_ref[:, :],
+                rowrank_ref[:, :],
+            ],
+            axis=1,
+        )
+
+    # --- col online stats across the row sweep -----------------------------
+    @pl.when(i == 0)
+    def _():
+        colm_ref[0:1, pl.ds(j * bn, bn)] = jnp.full((1, bn), _NEG_INF, jnp.float32)
+        cole_ref[0:1, pl.ds(j * bn, bn)] = jnp.zeros((1, bn), jnp.float32)
+        colsum_ref[0:1, pl.ds(j * bn, bn)] = jnp.zeros((1, bn), jnp.float32)
+
+    cmax = jnp.max(s, axis=0, keepdims=True)
+    oldm = colm_ref[0:1, pl.ds(j * bn, bn)]
+    cnewm = jnp.maximum(oldm, cmax)
+    cole_ref[0:1, pl.ds(j * bn, bn)] = cole_ref[0:1, pl.ds(j * bn, bn)] * jnp.exp(
+        oldm - cnewm
+    ) + jnp.sum(jnp.exp(s - cnewm), axis=0, keepdims=True)
+    colm_ref[0:1, pl.ds(j * bn, bn)] = cnewm
+    colsum_ref[0:1, pl.ds(j * bn, bn)] += jnp.sum(s, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        col_ref[0:1, pl.ds(j * bn, bn)] = (
+            jnp.log(cole_ref[0:1, pl.ds(j * bn, bn)])
+            + colm_ref[0:1, pl.ds(j * bn, bn)]
+        )
+        col_ref[1:2, pl.ds(j * bn, bn)] = colsum_ref[0:1, pl.ds(j * bn, bn)]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_stats_blocked_call(n_scaled, c, row_offset=None, *, interpret: bool = False):
+    """Col-blocked full-stats forward: (row_stats [rows, 4], col_stats
+    [2, B]) — the same output surface as :func:`_fused_stats_call`, for B
+    beyond the VMEM-resident cap. ``row_offset``: global row index of n's
+    first row (shard offset under the sharded wrapper)."""
+    rows, d = n_scaled.shape
+    b = c.shape[0]
+    bm = _BM if rows % _BM == 0 else rows
+    bn = _BN_BLOCKED
+    grid = (rows // bm, b // bn)
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    off = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    nb = n_scaled.astype(jnp.bfloat16)
+    cb = c.astype(jnp.bfloat16)
+    # rank's reference diagonal, computed once outside the grid via the SAME
+    # MXU dot the stats tiles run (_diag_mxu_kernel docstring: a VPU rowsum
+    # here measured ~20 rank miscounts per row at B=16384). n's row i pairs
+    # with c's row off + i — under the sharded wrapper c is the all-gathered
+    # [B, D] side.
+    c_aligned = jax.lax.dynamic_slice_in_dim(cb, off[0], rows, axis=0)
+    diag_in = _diag_mxu_call(nb, c_aligned, interpret=interpret)
+    row_stats, col_stats = pl.pallas_call(
+        _fwd_stats_blocked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, b), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 4), jnp.float32),
+            jax.ShapeDtypeStruct((2, b), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nb, cb, diag_in, off)
+    return row_stats, col_stats
 
 
 def _bwd_blocked_a(s, rowlse, collse, row0, i, j, bm, bn, b, eps):
@@ -777,11 +967,10 @@ def _ce_bwd(temperature, label_smoothing, interpret, max_abs_logit, res, g):
         dn_s, dc = _fused_bwd_call(
             n_scaled, c32, row_lse, col_lse, label_smoothing, interpret=interpret
         )
-    elif (
-        label_smoothing == 0.0
-        and _blocked_supported(b, b, d)
-        and _kernel_ok(interpret)
-    ):
+    elif _blocked_supported(b, b, d) and _kernel_ok(interpret):
+        # the blocked backward's ∂L/∂S tile (_bwd_blocked_a) carries the
+        # full label-smoothing term, so eps > 0 batches beyond the resident
+        # cap stay fused too
         dn_s, dc = _fused_bwd_blocked_call(
             n_scaled, c32, row_lse, col_lse, label_smoothing, interpret=interpret
         )
@@ -928,8 +1117,15 @@ def _sharded_ce_primal(n, c, axis_name, temperature, label_smoothing,
         ) / b
         return 0.5 * (row_term + col_term), (row_lse, col_lse)
 
-    if _sharded_supported(bl, b, d) and _kernel_ok(interpret):
-        row_stats, col_stats = _fused_stats_call(
+    if _kernel_ok(interpret) and (
+        _sharded_supported(bl, b, d) or _blocked_supported(bl, b, d)
+    ):
+        stats_call = (
+            _fused_stats_call
+            if _sharded_supported(bl, b, d)
+            else _fused_stats_blocked_call
+        )
+        row_stats, col_stats = stats_call(
             n_scaled, c_full, row0, interpret=interpret
         )
         row_lse, row_sum, diag = row_stats[:, 0], row_stats[:, 1], row_stats[:, 2]
@@ -971,11 +1167,9 @@ def _sharded_ce_grads_local(n, c, row_lse, col_lse, g, axis_name, temperature,
             n_scaled, c_full, row_lse, col_lse, label_smoothing, row0,
             interpret=interpret,
         )
-    elif (
-        label_smoothing == 0.0
-        and _blocked_supported(bl, b, d)
-        and _kernel_ok(interpret)
-    ):
+    elif _blocked_supported(bl, b, d) and _kernel_ok(interpret):
+        # blocked backward carries the full eps term (_bwd_blocked_a):
+        # smoothing stays fused at global batches beyond the resident cap
         dn_s, dc_part = _fused_bwd_blocked_call(
             n_scaled, c_full, row_lse, col_lse, label_smoothing, row0,
             interpret=interpret,

@@ -63,10 +63,49 @@ def check_fused_stats(b: int = 8192, d: int = 128) -> None:
     errs = {f: rel_err(getattr(got, f), getattr(want, f))
             for f in ("row_lse", "row_sum", "diag", "col_lse", "col_sum")}
     rank_mismatch = int(np.sum(got.rank != want.rank))
-    # ranks can differ where two scores tie at bf16 precision; allow a whisker
-    ok = max(errs.values()) < 5e-3 and rank_mismatch <= b * 0.001
-    emit("fused_stats_vs_xla", ok, max_rel_err=max(errs.values()),
+    # per-field gates: sums over B near-zero-mean bf16 similarities cancel
+    # (error grows ~sqrt(B) in ulps — 2e-2 covers B=65536); the lse/diag
+    # surface stays tight. Ranks can differ where two scores tie at bf16
+    # precision; allow a whisker.
+    gate = {"row_sum": 2e-2, "col_sum": 2e-2}
+    ok = all(e < gate.get(f, 5e-3) for f, e in errs.items()) and (
+        rank_mismatch <= b * 0.001
+    )
+    tag = f"_b{b}" if b != 8192 else ""
+    emit(f"fused_stats_vs_xla{tag}", ok,
+         errs={f: round(e, 6) for f, e in errs.items()},
          rank_mismatches=rank_mismatch, b=b, d=d)
+
+
+def check_blocked_large(b: int = 32768, d: int = 128) -> None:
+    """Beyond-XLA batch: at B=32768 the materializing reference cannot run
+    ([B, B] f32 blobs; BENCHMARKS.md fused_ce_paths), so cross-check the two
+    INDEPENDENT blocked kernels against each other (stats vs lean forward)
+    and assert the smoothing loss + grads stay finite."""
+    from jodalrob_twotower_tpu.ops.fused_logits import (
+        _fused_lean_blocked_call,
+        fused_bidirectional_ce,
+        fused_stats,
+    )
+
+    n, c = _embeddings(b, d, jax.random.PRNGKey(4))
+    tau = 0.3
+    stats = fused_stats(n, c, temperature=tau)
+    row_lean, col_lean = _fused_lean_blocked_call(n / tau, c)
+    err = max(rel_err(jax.device_get(stats.row_lse), jax.device_get(row_lean)),
+              rel_err(jax.device_get(stats.col_lse), jax.device_get(col_lean)))
+    emit(f"blocked_stats_vs_lean_b{b}", bool(err < 1e-5), max_rel_err=err, b=b)
+
+    loss, (gn, gc) = jax.value_and_grad(
+        lambda a, bb: fused_bidirectional_ce(a, bb, tau, 0.1), argnums=(0, 1)
+    )(n, c)
+    finite = bool(np.isfinite(float(loss))) and bool(
+        jnp.all(jnp.isfinite(gn)) & jnp.all(jnp.isfinite(gc))
+    )
+    # sanity: smoothing CE at B with near-random towers ~ log(B) +- a bit
+    sane = abs(float(loss) - np.log(b)) < 2.0
+    emit(f"blocked_smoothing_finite_b{b}", finite and sane,
+         loss=round(float(loss), 4), b=b)
 
 
 def check_fused_ce_grads(b: int = 8192, d: int = 128, eps: float = 0.0) -> None:
@@ -179,9 +218,12 @@ def check_sampled_step_determinism() -> None:
 def main() -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
     check_fused_stats()
+    check_fused_stats(b=16384)       # col-blocked STATS kernel (B > VMEM cap)
     check_fused_ce_grads(eps=0.0)    # lean kernel path
     check_fused_ce_grads(eps=0.1)    # full stats path + smoothing
-    check_fused_ce_grads(b=16384, eps=0.0)  # col-blocked kernels (B > VMEM cap)
+    check_fused_ce_grads(b=16384, eps=0.0)  # col-blocked lean kernels
+    check_fused_ce_grads(b=16384, eps=0.1)  # col-blocked stats fwd + eps bwd
+    check_blocked_large()            # B=32768: beyond the XLA reference
     check_dense_table_grad()
     check_pallas_gather()
     check_sampled_step_determinism()

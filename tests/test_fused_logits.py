@@ -245,6 +245,105 @@ class TestBlockedKernels:
             scale = float(jnp.max(jnp.abs(a)))
             assert float(jnp.max(jnp.abs(a - b))) < 1e-6 + 5e-3 * scale
 
+    @pytest.mark.parametrize("tau", [1.0, 0.3])
+    def test_blocked_stats_match_xla(self, rng, tau):
+        """The col-blocked FULL stats kernel (2-D grid, online row+col
+        merges, precomputed-diag rank) matches the XLA reference on every
+        field — this is the smoothing/metrics surface beyond the resident
+        cap (VERDICT r2 #1)."""
+        fl = self.fl
+        n, c = self._unit(rng, 1024, 128), self._unit(rng, 1024, 128)
+        ref = fl._stats_xla(jnp.asarray(n) / tau, jnp.asarray(c))
+        out = fl.fused_stats(n, c, temperature=tau, interpret=True)
+        for name in ref._fields:
+            if name == "rank":
+                # bf16 near-tie flips vs the f32 reference (see the resident
+                # test's budget rationale) — the expected flip count scales
+                # with B, so 1024 rows gets 4x the 256-row budget
+                np.testing.assert_allclose(
+                    np.asarray(out.rank), np.asarray(ref.rank), atol=20,
+                    err_msg=name,
+                )
+                continue
+            atol = (0.1 if name in ("row_sum", "col_sum") else 0.01) / tau
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=5e-4, atol=atol, err_msg=name,
+            )
+
+    def test_blocked_smoothing_loss_and_grads(self, rng):
+        """label_smoothing > 0 beyond the resident cap: forward via the
+        blocked stats kernel, backward via the blocked two-pass kernels
+        (whose ∂L/∂S tile carries the eps term) — both must match the XLA
+        loss (reference semantics two_tower_train_task.py:131)."""
+        fl = self.fl
+        tau, eps = 0.3, 0.1
+        n, c = self._unit(rng, 1024, 128), self._unit(rng, 1024, 128)
+
+        def f(a, b):
+            return fl.fused_bidirectional_ce(a, b, tau, eps, True)
+
+        ref, _ = bidirectional_ce_loss(
+            n, c, temperature=tau, label_smoothing=eps
+        )
+        assert abs(float(f(n, c)) - float(ref)) < 1e-4
+        g_ref = jax.grad(
+            lambda a, b: bidirectional_ce_loss(
+                a, b, temperature=tau, label_smoothing=eps
+            )[0],
+            argnums=(0, 1),
+        )(n, c)
+        g = jax.grad(f, argnums=(0, 1))(n, c)
+        for a, b in zip(g_ref, g):
+            scale = float(jnp.max(jnp.abs(a)))
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-6 + 5e-3 * scale
+
+    def test_blocked_fused_metrics(self, rng):
+        """fused_in_batch_metrics beyond the resident cap routes through the
+        blocked stats kernel and matches the materializing reference."""
+        from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
+
+        fl = self.fl
+        n, c = self._unit(rng, 512, 128), self._unit(rng, 512, 128)
+        sim = jnp.dot(jnp.asarray(n), jnp.asarray(c).T) / 0.5
+        ref = in_batch_metrics(sim)
+        out = fl.fused_in_batch_metrics(n, c, temperature=0.5, interpret=True)
+        assert set(out) == set(ref)
+        for k in ref:
+            np.testing.assert_allclose(
+                float(out[k]), float(ref[k]), rtol=5e-3, atol=3.0 / 512,
+                err_msg=k,
+            )
+
+    def test_sharded_blocked_smoothing_matches_xla(self, rng):
+        """Mesh-sharded fused CE with label smoothing at a global batch
+        beyond the resident cap: blocked stats forward + blocked backward
+        under shard_map must match the single-device XLA loss."""
+        from jax.sharding import Mesh
+
+        fl = self.fl
+        tau, eps = 0.5, 0.1
+        n, c = self._unit(rng, 1024, 128), self._unit(rng, 1024, 128)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        f = fl.make_sharded_fused_ce(
+            mesh, "data", temperature=tau, label_smoothing=eps, interpret=True,
+        )
+        ref, _ = bidirectional_ce_loss(
+            n, c, temperature=tau, label_smoothing=eps
+        )
+        assert abs(float(jax.jit(f)(n, c)) - float(ref)) < 1e-4
+        g_ref = jax.grad(
+            lambda a, b: bidirectional_ce_loss(
+                a, b, temperature=tau, label_smoothing=eps
+            )[0],
+            argnums=(0, 1),
+        )(n, c)
+        g = jax.grad(f, argnums=(0, 1))(n, c)
+        for a, b in zip(g_ref, g):
+            scale = float(jnp.max(jnp.abs(a)))
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-6 + 5e-3 * scale
+
     def test_blocked_envelope(self):
         fl = self.fl
         assert not fl._blocked_supported(256, 256, 128)   # resident regime
