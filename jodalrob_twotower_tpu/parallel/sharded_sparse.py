@@ -101,15 +101,34 @@ def make_sharded_sparse_train(
     shardings = sparse_state_shardings(state, mesh)
     state = jax.device_put(state, shardings)
 
+    idx_sharding = batch_sharding(mesh)
+    rep = replicated(mesh)
+    store_gather = None
+    if cfg.mesh.store_sharding == "rows":
+        from jodalrob_twotower_tpu.parallel.sharded_store import (
+            make_tower_batch_gather,
+            put_row_sharded_store,
+        )
+
+        store_gather = make_tower_batch_gather(mesh)
+        row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        store_shardings = (row_sh, row_sh)
+
+        def put_store(store):
+            return put_row_sharded_store(store, mesh)
+
+    else:
+        store_shardings = (rep, rep)
+
+        def put_store(store):
+            return tuple(jax.device_put(x, rep) for x in store)
+
     # mesh passed through: use_fused_logits runs the shard_mapped fused CE
     # (global in-batch negatives, no [B, B] HBM block) at any mesh size.
     step_fn = make_sparse_train_step(
         model, cfg, tx, total_steps, jit=False, with_metrics=with_metrics,
-        mesh=mesh,
+        mesh=mesh, store_gather=store_gather,
     )
-    idx_sharding = batch_sharding(mesh)
-    rep = replicated(mesh)
-    store_shardings = (rep, rep)
     train_step = jax.jit(
         step_fn,
         in_shardings=(shardings, idx_sharding, store_shardings, store_shardings),
@@ -123,19 +142,22 @@ def make_sharded_sparse_train(
             if getattr(pair_idx, "ndim", 2) == 3
             else idx_sharding
         )
+        if jax.process_count() > 1:
+            # multi-host: the process holds only its batch slice
+            return jax.make_array_from_process_local_data(sh, pair_idx)
         return jax.device_put(pair_idx, sh)
-
-    def put_store(store):
-        return tuple(jax.device_put(x, rep) for x in store)
 
     if n_inner is None:
         return state, train_step, put_batch, put_store
 
     if defer_updates:
-        scan_fn = deferred_sparse_steps_fn(model, cfg, tx, total_steps, mesh=mesh)
+        scan_fn = deferred_sparse_steps_fn(
+            model, cfg, tx, total_steps, mesh=mesh, store_gather=store_gather
+        )
     else:
         inner = make_sparse_train_step(
-            model, cfg, tx, total_steps, jit=False, mesh=mesh
+            model, cfg, tx, total_steps, jit=False, mesh=mesh,
+            store_gather=store_gather,
         )
 
         def scan_fn(st, idx_stack, n_store, c_store):

@@ -122,7 +122,12 @@ def make_sharded_indexed_train(
     """Sharded INDEXED training: device-resident stores + [B, 2] pair indices
     per step, the Trainer's hot path, compiled over a mesh.
 
-    Stores are replicated (input features; small next to the tables), the
+    Stores are replicated by default (input features; small next to the
+    tables) or ROW-SHARDED over the data axis with
+    ``MeshConfig.store_sharding="rows"`` — each chip then holds 1/n of the
+    dense/cat matrices and batch rows arrive via the explicit
+    all-gather-ids -> psum_scatter-rows exchange (parallel/sharded_store.py;
+    the reference's features-too-large-for-memory mode 4 at TPU scale). The
     index batch is sharded on dim 0 so each chip gathers and computes only
     its batch shard, tables are row-sharded per ``state_shardings``, and the
     in-batch-negative logits all-gather one side's embeddings (global
@@ -155,10 +160,30 @@ def make_sharded_indexed_train(
     rep = replicated(mesh)
     idx_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
     stack_sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
-    store_sh = (rep, rep)
+
+    store_gather = None
+    if cfg.mesh.store_sharding == "rows":
+        from jodalrob_twotower_tpu.parallel.sharded_store import (
+            make_tower_batch_gather,
+            put_row_sharded_store,
+        )
+
+        store_gather = make_tower_batch_gather(mesh)
+        row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        store_sh = (row_sh, row_sh)
+
+        def put_store(store):
+            return put_row_sharded_store(store, mesh)
+
+    else:
+        store_sh = (rep, rep)
+
+        def put_store(store):
+            return tuple(jax.device_put(x, rep) for x in store)
 
     inner = make_indexed_train_step(
-        model, cfg, tx, jit=False, with_metrics=False, mesh=mesh
+        model, cfg, tx, jit=False, with_metrics=False, mesh=mesh,
+        store_gather=store_gather,
     )
 
     def scan_fn(st, idx_stack, n_store, c_store):
@@ -174,7 +199,8 @@ def make_sharded_indexed_train(
         donate_argnums=(0,),
     )
     single = make_indexed_train_step(
-        model, cfg, tx, jit=False, with_metrics=True, mesh=mesh
+        model, cfg, tx, jit=False, with_metrics=True, mesh=mesh,
+        store_gather=store_gather,
     )
     single_step = jax.jit(
         single,
@@ -185,9 +211,11 @@ def make_sharded_indexed_train(
 
     def put_idx(idx):
         sh = stack_sharding if idx.ndim == 3 else idx_sharding
+        if jax.process_count() > 1:
+            # multi-host: each process holds only ITS batch slice (per-host
+            # lockstep data sharding, data/parquet_stream.py) — assemble the
+            # global [.., B_global, 2] array from process-local shards
+            return jax.make_array_from_process_local_data(sh, idx)
         return jax.device_put(idx, sh)
-
-    def put_store(store):
-        return tuple(jax.device_put(x, rep) for x in store)
 
     return state, tx, scan_steps, single_step, put_idx, put_store

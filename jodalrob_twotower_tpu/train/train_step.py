@@ -219,6 +219,7 @@ def make_indexed_train_step(
     jit: bool = True,
     with_metrics: bool = True,
     mesh=None,
+    store_gather=None,
 ):
     """Train step over DEVICE-RESIDENT feature stores.
 
@@ -239,23 +240,28 @@ def make_indexed_train_step(
     (HBM-bound at large B), so the hot loop skips them and the evaluator
     computes them on eval batches (the reference likewise only displayed
     train metrics every 20 steps, scripts/train.py:339-352).
+
+    ``store_gather(store, rows [B]) -> TowerBatch`` overrides the plain
+    ``jnp.take`` batch assembly — used by the ROW-SHARDED store mode
+    (parallel/sharded_store.make_tower_batch_gather), where the gather is an
+    explicit cross-shard exchange. The gather sits outside autodiff either
+    way (stores are inputs, not parameters).
     """
     sharded_ce = make_sharded_ce(cfg, mesh)
 
+    def default_gather(store, rows):
+        dense, cat = store
+        return TowerBatch(
+            dense=jnp.take(dense, rows, axis=0),
+            cat_ids=jnp.take(cat, rows, axis=0),
+        )
+
+    gather = store_gather if store_gather is not None else default_gather
+
     def step_fn(state: TrainState, pair_idx, notice_store, company_store):
-        n_dense, n_cat = notice_store
-        c_dense, c_cat = company_store
-        n_rows = pair_idx[:, 0]
-        c_rows = pair_idx[:, 1]
         batch = PairBatch(
-            notice=TowerBatch(
-                dense=jnp.take(n_dense, n_rows, axis=0),
-                cat_ids=jnp.take(n_cat, n_rows, axis=0),
-            ),
-            company=TowerBatch(
-                dense=jnp.take(c_dense, c_rows, axis=0),
-                cat_ids=jnp.take(c_cat, c_rows, axis=0),
-            ),
+            notice=gather(notice_store, pair_idx[:, 0]),
+            company=gather(company_store, pair_idx[:, 1]),
         )
         dropout_rng = jax.random.fold_in(state.rng, state.step)
 
