@@ -51,6 +51,13 @@ def parse_args(argv=None):
                    help="second-pass precision: int8 = memory-free "
                         "(dequantized rows), bfloat16 = keeps a "
                         "full-precision copy for near-exact final scores")
+    p.add_argument("--target-recall", type=float,
+                   help="pick (index kind, approx-recall, rescore-depth) "
+                        "automatically from the measured QPS/recall frontier "
+                        "(serving/autoconfig.py): the fastest configuration "
+                        "whose measured recall@100 vs exact meets this "
+                        "target. Mutually exclusive with the manual "
+                        "--index/--approx-recall/--rescore-depth knobs")
     p.add_argument("--save-index", type=Path, help="persist the built index (npz)")
     p.add_argument("--load-index", type=Path, help="serve a persisted index")
     p.add_argument("--k", type=int, default=10)
@@ -63,6 +70,34 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    if args.target_recall is not None:
+        from jodalrob_twotower_tpu.serving.autoconfig import choose_serving_config
+
+        manual = [
+            name for name, val, default in (
+                ("--index", args.index, "int8"),
+                ("--approx-recall", args.approx_recall, None),
+                ("--rescore-depth", args.rescore_depth, None),
+                ("--rescore-dtype", args.rescore_dtype, "int8"),
+            ) if val != default
+        ]
+        if manual or args.load_index:
+            raise SystemExit(
+                "--target-recall picks the index configuration itself; drop "
+                + ", ".join(manual or ["--load-index"])
+            )
+        chosen = choose_serving_config(args.target_recall, k=args.k)
+        args.index = chosen.index_kind
+        args.approx_recall = chosen.approx_recall
+        args.rescore_depth = chosen.rescore_depth
+        args.rescore_dtype = chosen.rescore_dtype
+        print(
+            f"auto-config for recall>={args.target_recall}: {chosen.note} "
+            f"(expected recall@100 {chosen.expected_recall}; equivalent to "
+            + " ".join(chosen.cli_flags()) + ")",
+            file=sys.stderr,
+        )
 
     import jax
 

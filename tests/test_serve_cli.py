@@ -77,3 +77,24 @@ def test_serve_cli_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines2 = [json.loads(l) for l in results2.read_text().splitlines()]
     assert [l["top_k"] for l in lines2] == [l["top_k"] for l in lines]
+
+    # --target-recall auto-config (serving/autoconfig.py): picks the
+    # measured frontier config and serves end-to-end
+    results3 = tmp_path / "hits3.jsonl"
+    proc = _run([
+        "scripts/serve.py", "--model-dir", str(out_dir), "--synthetic",
+        "--target-recall", "0.95", "--k", "5", "--queries", "10",
+        "--output", str(results3),
+    ])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "auto-config for recall>=0.95" in proc.stderr
+    assert "--approx-recall 0.9" in proc.stderr  # the dominating config
+    assert len(results3.read_text().splitlines()) == 10
+
+    # manual knobs conflict with --target-recall: fail fast
+    proc = _run([
+        "scripts/serve.py", "--model-dir", str(out_dir), "--synthetic",
+        "--target-recall", "0.95", "--approx-recall", "0.8",
+    ])
+    assert proc.returncode != 0
+    assert "--target-recall picks" in proc.stderr

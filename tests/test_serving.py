@@ -401,3 +401,38 @@ def test_rescore_review_fixes(tmp_path, rng):
     with pytest.raises(ValueError, match="index_kind"):
         RetrievalService(None, None, None, None, index_kind="Int8",
                          precomputed_corpus_emb=corpus)
+
+
+def test_choose_serving_config():
+    """Recall-targeted auto-config (serving/autoconfig.py, VERDICT r2 #4):
+    fastest measured config meeting the target; plain int8 never chosen
+    (strictly dominated by rescore-400-over-0.90)."""
+    from jodalrob_twotower_tpu.serving.autoconfig import choose_serving_config
+
+    # any target <= 0.988 -> the dominating fast config
+    for t in (0.5, 0.95, 0.980, 0.988):
+        c = choose_serving_config(t)
+        assert (c.index_kind, c.approx_recall, c.rescore_depth) == ("int8", 0.90, 400)
+        assert c.expected_recall >= t
+    # the plain-int8 operating point (recall 0.980, SLOWER than the above)
+    # must never surface — the dominated-config guard
+    assert choose_serving_config(0.980).rescore_depth == 400
+
+    c = choose_serving_config(0.99)
+    assert (c.index_kind, c.approx_recall, c.rescore_depth) == ("int8", 0.97, 400)
+    assert c.rescore_dtype == "bfloat16"
+
+    for t in (0.996, 0.999, 1.0):
+        assert choose_serving_config(t).index_kind == "exact"
+
+    # k beyond the measured curve -> conservative exact scan
+    assert choose_serving_config(0.9, k=400).index_kind == "exact"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_recall"):
+        choose_serving_config(0.0)
+    with _pytest.raises(ValueError, match="target_recall"):
+        choose_serving_config(1.2)
+
+    flags = choose_serving_config(0.99).cli_flags()
+    assert "--approx-recall" in flags and "--rescore-depth" in flags
