@@ -147,7 +147,10 @@ class DataConfig:
     # steps_per_epoch IID draws, not a without-replacement pass over the
     # pairs (~1/e of pairs missed per epoch; indistinguishable at the
     # multi-epoch scale this serves). Requires the pair set to fit HBM;
-    # incompatible with streaming batch sources.
+    # incompatible with streaming batch sources. Works single-device and
+    # on a mesh (parallel/sharded_train.make_sharded_sampled_steps: the
+    # GLOBAL batch is drawn on-mesh from the replicated pair set); the
+    # sparse O(batch) path stays host-fed.
     sample_on_device: bool = False
 
     def __post_init__(self) -> None:

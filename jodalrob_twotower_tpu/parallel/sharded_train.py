@@ -219,3 +219,75 @@ def make_sharded_indexed_train(
         return jax.device_put(idx, sh)
 
     return state, tx, scan_steps, single_step, put_idx, put_store
+
+
+def make_sharded_sampled_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx,
+    mesh,
+    shardings,
+    n_inner: int,
+    batch_size: int,
+):
+    """ON-DEVICE batch sampling over a mesh (DataConfig.sample_on_device on
+    a multi-chip Trainer): the replicated pair set lives in HBM; each inner
+    step draws its GLOBAL batch from a key folded with the global step and
+    gathers + trains it with the same mesh shardings as the indexed path
+    (tables row-sharded per ``shardings``, batch dim sharded by GSPMD,
+    store_sharding honored). The host sends one PRNG key per dispatch.
+
+    Returns (sampled_steps, put_pairs):
+      sampled_steps(state, key, pairs_dev [P, 2], n_store, c_store)
+        -> (state, metrics stacked [n_inner])
+      put_pairs(pairs) -> replicated device array.
+
+    ``shardings``/``tx`` must come from the same
+    :func:`make_sharded_indexed_train` call that produced the state.
+    """
+    import jax.numpy as jnp
+
+    from jodalrob_twotower_tpu.train.train_step import make_indexed_train_step
+
+    rep = replicated(mesh)
+    store_gather = None
+    if cfg.mesh.store_sharding == "rows":
+        from jodalrob_twotower_tpu.parallel.sharded_store import (
+            make_tower_batch_gather,
+        )
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        store_gather = make_tower_batch_gather(mesh)
+        row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        store_sh = (row_sh, row_sh)
+    else:
+        store_sh = (rep, rep)
+
+    inner = make_indexed_train_step(
+        model, cfg, tx, jit=False, with_metrics=False, mesh=mesh,
+        store_gather=store_gather,
+    )
+
+    def steps_fn(state, sample_key, pairs_dev, n_store, c_store):
+        n_pairs = pairs_dev.shape[0]
+
+        def body(carry, _):
+            key = jax.random.fold_in(sample_key, carry.step)
+            rows = jax.random.randint(key, (batch_size,), 0, n_pairs)
+            pair_idx = jnp.take(pairs_dev, rows, axis=0)
+            return inner(carry, pair_idx, n_store, c_store)
+
+        return jax.lax.scan(body, state, None, length=n_inner)
+
+    sampled_steps = jax.jit(
+        steps_fn,
+        in_shardings=(shardings, None, rep, store_sh, store_sh),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+
+    def put_pairs(pairs):
+        return jax.device_put(pairs, rep)
+
+    return sampled_steps, put_pairs

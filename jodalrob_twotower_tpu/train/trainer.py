@@ -174,6 +174,7 @@ class Trainer:
             single_step = make_indexed_train_step(self.model, cfg, tx, with_metrics=True)
 
         sampled_steps: dict[int, Callable] = {}
+        put_pairs = jax.device_put
         if cfg.data.sample_on_device:
             # ON-DEVICE IID sampling (the headline-bench path, bench.py): the
             # host sends one PRNG key per dispatch; batches are drawn with
@@ -185,22 +186,39 @@ class Trainer:
                     "sample_on_device needs the whole pair set device-resident; "
                     "it is incompatible with streaming batch sources"
                 )
-            if cfg.sparse_tables or self.mesh is not None:
+            if cfg.sparse_tables:
                 raise NotImplementedError(
-                    "sample_on_device currently supports the single-device "
-                    "dense path (the configuration bench.py measures); use "
-                    "the host-fed scanned path for mesh/sparse runs"
+                    "sample_on_device supports the dense paths (single-device "
+                    "and mesh); the sparse O(batch) path is host-fed"
                 )
-            from jodalrob_twotower_tpu.train.train_step import (
-                make_sampled_train_steps,
-            )
+            if self.mesh is not None:
+                from jodalrob_twotower_tpu.parallel.mesh import replicated
+                from jodalrob_twotower_tpu.parallel.sharded_train import (
+                    make_sharded_sampled_steps,
+                )
 
-            def sampled_fn(k: int) -> Callable:
-                if k not in sampled_steps:
-                    sampled_steps[k] = make_sampled_train_steps(
-                        self.model, cfg, tx, k, b
-                    )
-                return sampled_steps[k]
+                state_sh = jax.tree.map(lambda x: x.sharding, state)
+                rep = replicated(self.mesh)
+                put_pairs = lambda p: jax.device_put(p, rep)  # noqa: E731
+
+                def sampled_fn(k: int) -> Callable:
+                    if k not in sampled_steps:
+                        sampled_steps[k], _ = make_sharded_sampled_steps(
+                            self.model, cfg, tx, self.mesh, state_sh, k, b
+                        )
+                    return sampled_steps[k]
+
+            else:
+                from jodalrob_twotower_tpu.train.train_step import (
+                    make_sampled_train_steps,
+                )
+
+                def sampled_fn(k: int) -> Callable:
+                    if k not in sampled_steps:
+                        sampled_steps[k] = make_sampled_train_steps(
+                            self.model, cfg, tx, k, b
+                        )
+                    return sampled_steps[k]
 
             sampled_fn(n_inner)  # the main dispatch size
 
@@ -265,7 +283,7 @@ class Trainer:
         if sampled_steps:
             if not len(train_pairs):
                 raise ValueError("sample_on_device requires a non-empty pair set")
-            pairs_dev = jax.device_put(train_pairs.astype(np.int32))
+            pairs_dev = put_pairs(train_pairs.astype(np.int32))
             sample_key = jax.random.PRNGKey(cfg.data.shuffle_seed)
 
         history: list[dict] = []

@@ -53,13 +53,22 @@ def parse_args(argv=None):
         "index stack) — the headline-bench configuration (bench.py, "
         "2.3 ms/step at B=8192 vs 3.2 host-fed). Epochs are "
         "steps_per_epoch IID draws rather than a without-replacement "
-        "permutation pass. Incompatible with --stream/--mesh-devices",
+        "permutation pass. Works single-device and with --mesh-devices "
+        "(global batch sampled on-mesh); incompatible with --stream",
     )
     p.add_argument(
         "--mesh-devices",
         type=int,
         help="train over an N-device mesh (tables row-sharded, batch dim "
         "sharded, global in-batch negatives); default: single device",
+    )
+    p.add_argument(
+        "--store-sharding",
+        choices=["replicated", "rows"],
+        help="device-resident feature-store placement under --mesh-devices: "
+        "'rows' shards the dense/cat matrices so each chip holds 1/N "
+        "(for corpora whose features exceed one chip's HBM); default "
+        "replicated",
     )
     return p.parse_args(argv)
 
@@ -87,12 +96,18 @@ def main(argv=None) -> int:
             checkpoint=dataclasses.replace(cfg.checkpoint, save_every_steps=args.save_every_steps)
         )
     if args.sample_on_device:
-        if args.stream or args.mesh_devices:
+        if args.stream:
             raise SystemExit(
-                "--sample-on-device needs the whole pair set device-resident "
-                "on one chip; it is incompatible with --stream/--mesh-devices"
+                "--sample-on-device needs the whole pair set device-resident; "
+                "it is incompatible with --stream"
             )
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, sample_on_device=True))
+    if args.store_sharding:
+        if not args.mesh_devices:
+            raise SystemExit("--store-sharding requires --mesh-devices")
+        cfg = cfg.replace(
+            mesh=dataclasses.replace(cfg.mesh, store_sharding=args.store_sharding)
+        )
 
     if args.synthetic or not args.data_dir:
         from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset

@@ -91,7 +91,7 @@ def test_sample_on_device_trains(tiny_dataset, tmp_path):
     assert np.isfinite(result.final_val["loss"])
 
 
-def test_sample_on_device_rejects_streaming_and_mesh(tiny_dataset, tmp_path):
+def test_sample_on_device_rejects_streaming_and_sparse(tiny_dataset, tmp_path):
     ds = tiny_dataset
     cfg = _cfg(tmp_path).replace(data=DataConfig(batch_size=64, sample_on_device=True))
     trainer = Trainer(
@@ -102,14 +102,36 @@ def test_sample_on_device_rejects_streaming_and_mesh(tiny_dataset, tmp_path):
         trainer.train(tr, va, batch_source=lambda e: iter([tr[:64]]),
                       steps_per_epoch=4, corpus_eval=False)
 
+    sparse_trainer = Trainer(
+        cfg.replace(sparse_tables=True), ds.schema, ds.notice_store,
+        ds.company_store, log_fn=lambda s: None,
+    )
+    with pytest.raises(NotImplementedError, match="sparse"):
+        sparse_trainer.train(tr, va, corpus_eval=False)
+
+
+def test_sample_on_device_mesh(tiny_dataset, tmp_path):
+    """sample_on_device over a mesh: the GLOBAL batch is drawn on-mesh from
+    the replicated pair set (make_sharded_sampled_steps) and training
+    learns; works combined with row-sharded feature stores."""
+    import dataclasses
+
+    from jodalrob_twotower_tpu.config import MeshConfig
     from jodalrob_twotower_tpu.parallel.mesh import make_mesh
 
-    mesh_trainer = Trainer(
-        cfg, ds.schema, ds.notice_store, ds.company_store,
-        mesh=make_mesh(jax.devices()[:2]), log_fn=lambda s: None,
+    ds = tiny_dataset
+    tr, va = ds.split(0.2, seed=0)
+    cfg = _cfg(tmp_path, epochs=2).replace(
+        data=DataConfig(batch_size=64, sample_on_device=True),
+        mesh=MeshConfig(store_sharding="rows"),
     )
-    with pytest.raises(NotImplementedError, match="single-device"):
-        mesh_trainer.train(tr, va, corpus_eval=False)
+    trainer = Trainer(
+        cfg, ds.schema, ds.notice_store, ds.company_store,
+        mesh=make_mesh(jax.devices()[:8]), log_fn=lambda s: None,
+    )
+    result = trainer.train(tr, va, n_inner=5, corpus_eval=False)
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+    assert np.isfinite(result.final_val["loss"])
 
 
 def test_corpus_eval_chunked_matches_unchunked(rng):
