@@ -568,6 +568,10 @@ def serving_10m_auto(target: float = 0.99) -> None:
         rescore_depth=chosen.rescore_depth,
         approx_recall=chosen.approx_recall if chosen.approx_recall else 0.97,
     )
+    if chosen.index_kind == "exact":
+        # the exact f32 scan IS the recall reference (serving_10m only
+        # measures recall for the int8 kinds): 1.0 by definition
+        measured = 1.0
     ok = measured is not None and measured >= target - 0.005
     _emit("serving_auto_meets_target", target_recall=target,
           measured_recall=measured, ok=bool(ok))

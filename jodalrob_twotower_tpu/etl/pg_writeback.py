@@ -129,9 +129,20 @@ def build_create_preprocessed(
     stmts.append(f"CREATE TABLE IF NOT EXISTS {qualified} ({', '.join(cols)});")
     if pk_cols:
         key = ", ".join(_quote_ident(c) for c in pk_cols)
-        stmts.append(
+        alter = (
             f"ALTER TABLE {qualified} ADD CONSTRAINT "
-            f"{_quote_ident(f'{table}_pkey')} PRIMARY KEY ({key});"
+            f"{_quote_ident(f'{table}_pkey')} PRIMARY KEY ({key})"
+        )
+        # Postgres has no ADD CONSTRAINT IF NOT EXISTS: with replace=False
+        # + CREATE TABLE IF NOT EXISTS the table (and its key) may already
+        # exist, so swallow duplicate_object (constraint name exists) and
+        # invalid_table_definition (table already has a primary key) —
+        # the re-run/append path must not abort on an already-keyed table.
+        stmts.append(
+            "DO $$ BEGIN "
+            f"{alter}; "
+            "EXCEPTION WHEN duplicate_object OR invalid_table_definition "
+            "THEN NULL; END $$;"
         )
     return stmts
 
@@ -252,9 +263,17 @@ class PreprocessedUploader:
                 **{b: len(cols) for b, cols in emb_groups.items()},
                 **array_cols,
             }
+            missing_pks = [c for c in self.pk_cols if c not in types]
+            if missing_pks:
+                # a typo'd/mis-cased pk would silently create a keyless
+                # table, defeating the text-PK/PRIMARY-KEY contract
+                raise ValueError(
+                    f"pk_cols {missing_pks} not among the chunk's scalar "
+                    f"columns {sorted(types)}"
+                )
             for stmt in build_create_preprocessed(
                 self.schema, table, types, vector_dims, replace=self.replace,
-                pk_cols=[c for c in self.pk_cols if c in types],
+                pk_cols=self.pk_cols,
             ):
                 cur.execute(stmt)
             self._created.add(table)

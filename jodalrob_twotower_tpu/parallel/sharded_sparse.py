@@ -102,26 +102,11 @@ def make_sharded_sparse_train(
     state = jax.device_put(state, shardings)
 
     idx_sharding = batch_sharding(mesh)
-    rep = replicated(mesh)
-    store_gather = None
-    if cfg.mesh.store_sharding == "rows":
-        from jodalrob_twotower_tpu.parallel.sharded_store import (
-            make_tower_batch_gather,
-            put_row_sharded_store,
-        )
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        resolve_store_placement,
+    )
 
-        store_gather = make_tower_batch_gather(mesh)
-        row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
-        store_shardings = (row_sh, row_sh)
-
-        def put_store(store):
-            return put_row_sharded_store(store, mesh)
-
-    else:
-        store_shardings = (rep, rep)
-
-        def put_store(store):
-            return tuple(jax.device_put(x, rep) for x in store)
+    store_gather, store_shardings, put_store = resolve_store_placement(cfg, mesh)
 
     # mesh passed through: use_fused_logits runs the shard_mapped fused CE
     # (global in-batch negatives, no [B, B] HBM block) at any mesh size.

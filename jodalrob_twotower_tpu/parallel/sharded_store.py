@@ -114,6 +114,31 @@ def make_store_gather(mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
     return gather
 
 
+def resolve_store_placement(cfg, mesh: Mesh, axis: str = DATA_AXIS):
+    """(store_gather, store_shardings, put_store) for a TrainConfig + mesh —
+    the ONE place MeshConfig.store_sharding is interpreted (used by the
+    dense indexed, sparse, and sampled mesh step builders).
+
+    "rows": store matrices row-sharded; gather = the explicit exchange.
+    "replicated": full copies everywhere; gather = None (plain jnp.take).
+    """
+    if cfg.mesh.store_sharding == "rows":
+        store_gather = make_tower_batch_gather(mesh, axis)
+        row_sh = NamedSharding(mesh, P(axis, None))
+
+        def put_store(store):
+            return put_row_sharded_store(store, mesh, axis)
+
+        return store_gather, (row_sh, row_sh), put_store
+
+    rep = NamedSharding(mesh, P())
+
+    def put_store(store):
+        return tuple(jax.device_put(x, rep) for x in store)
+
+    return None, (rep, rep), put_store
+
+
 def make_tower_batch_gather(mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
     """store_gather(store (dense, cat), rows [B]) -> TowerBatch — the
     pluggable gather the indexed train steps accept

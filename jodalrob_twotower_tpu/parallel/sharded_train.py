@@ -161,25 +161,11 @@ def make_sharded_indexed_train(
     idx_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
     stack_sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
 
-    store_gather = None
-    if cfg.mesh.store_sharding == "rows":
-        from jodalrob_twotower_tpu.parallel.sharded_store import (
-            make_tower_batch_gather,
-            put_row_sharded_store,
-        )
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        resolve_store_placement,
+    )
 
-        store_gather = make_tower_batch_gather(mesh)
-        row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
-        store_sh = (row_sh, row_sh)
-
-        def put_store(store):
-            return put_row_sharded_store(store, mesh)
-
-    else:
-        store_sh = (rep, rep)
-
-        def put_store(store):
-            return tuple(jax.device_put(x, rep) for x in store)
+    store_gather, store_sh, put_store = resolve_store_placement(cfg, mesh)
 
     inner = make_indexed_train_step(
         model, cfg, tx, jit=False, with_metrics=False, mesh=mesh,
@@ -245,43 +231,24 @@ def make_sharded_sampled_steps(
     ``shardings``/``tx`` must come from the same
     :func:`make_sharded_indexed_train` call that produced the state.
     """
-    import jax.numpy as jnp
-
-    from jodalrob_twotower_tpu.train.train_step import make_indexed_train_step
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        resolve_store_placement,
+    )
+    from jodalrob_twotower_tpu.train.train_step import (
+        make_indexed_train_step,
+        sampled_scan_fn,
+    )
 
     rep = replicated(mesh)
-    store_gather = None
-    if cfg.mesh.store_sharding == "rows":
-        from jodalrob_twotower_tpu.parallel.sharded_store import (
-            make_tower_batch_gather,
-        )
-
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        store_gather = make_tower_batch_gather(mesh)
-        row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
-        store_sh = (row_sh, row_sh)
-    else:
-        store_sh = (rep, rep)
+    store_gather, store_sh, _ = resolve_store_placement(cfg, mesh)
 
     inner = make_indexed_train_step(
         model, cfg, tx, jit=False, with_metrics=False, mesh=mesh,
         store_gather=store_gather,
     )
 
-    def steps_fn(state, sample_key, pairs_dev, n_store, c_store):
-        n_pairs = pairs_dev.shape[0]
-
-        def body(carry, _):
-            key = jax.random.fold_in(sample_key, carry.step)
-            rows = jax.random.randint(key, (batch_size,), 0, n_pairs)
-            pair_idx = jnp.take(pairs_dev, rows, axis=0)
-            return inner(carry, pair_idx, n_store, c_store)
-
-        return jax.lax.scan(body, state, None, length=n_inner)
-
     sampled_steps = jax.jit(
-        steps_fn,
+        sampled_scan_fn(inner, n_inner, batch_size),
         in_shardings=(shardings, None, rep, store_sh, store_sh),
         out_shardings=(shardings, None),
         donate_argnums=(0,),

@@ -325,6 +325,27 @@ def make_scanned_train_steps(
     return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
 
 
+def sampled_scan_fn(inner, n_inner: int, batch_size: int):
+    """The unjitted ``n_inner``-step on-device-sampling scan body shared by
+    :func:`make_sampled_train_steps` (single device) and
+    parallel/sharded_train.make_sharded_sampled_steps (mesh): each inner
+    step draws its batch IID with replacement from a key folded with the
+    GLOBAL step counter, so draws are replayable and resume-exact."""
+
+    def steps_fn(state: TrainState, sample_key, pairs_dev, notice_store, company_store):
+        n_pairs = pairs_dev.shape[0]
+
+        def body(carry, _):
+            key = jax.random.fold_in(sample_key, carry.step)
+            rows = jax.random.randint(key, (batch_size,), 0, n_pairs)
+            pair_idx = jnp.take(pairs_dev, rows, axis=0)
+            return inner(carry, pair_idx, notice_store, company_store)
+
+        return jax.lax.scan(body, state, None, length=n_inner)
+
+    return steps_fn
+
+
 def make_sampled_train_steps(
     model: TwoTowerModel,
     cfg: TrainConfig,
@@ -349,18 +370,7 @@ def make_sampled_train_steps(
     inner = make_indexed_train_step(
         model, cfg, tx, jit=False, with_metrics=with_metrics, mesh=mesh
     )
-
-    def steps_fn(state: TrainState, sample_key, pairs_dev, notice_store, company_store):
-        n_pairs = pairs_dev.shape[0]
-
-        def body(carry, _):
-            key = jax.random.fold_in(sample_key, carry.step)
-            rows = jax.random.randint(key, (batch_size,), 0, n_pairs)
-            pair_idx = jnp.take(pairs_dev, rows, axis=0)
-            return inner(carry, pair_idx, notice_store, company_store)
-
-        return jax.lax.scan(body, state, None, length=n_inner)
-
+    steps_fn = sampled_scan_fn(inner, n_inner, batch_size)
     return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
 
 

@@ -286,6 +286,26 @@ class Trainer:
             pairs_dev = put_pairs(train_pairs.astype(np.int32))
             sample_key = jax.random.PRNGKey(cfg.data.shuffle_seed)
 
+        # multi-host (multi-process mesh): cfg.data.batch_size is the GLOBAL
+        # batch. In-memory epochs are generated identically on every process
+        # (same pairs + seed), so each process feeds only its stripe of each
+        # batch — put_idx then assembles the global array from process-local
+        # shards. Without this, make_array_from_process_local_data would
+        # CONCATENATE the identical full batches into an n_proc-times-larger
+        # global batch with every pair duplicated (wrong in-batch negatives).
+        # Streaming sources already yield per-host slices
+        # (train_streaming divides batch_size by process_count).
+        n_proc = jax.process_count()
+        local_slice = None
+        if self.mesh is not None and n_proc > 1 and batch_source is None:
+            if b % n_proc:
+                raise ValueError(
+                    f"batch_size {b} must divide jax.process_count() ({n_proc})"
+                )
+            bl = b // n_proc
+            pi = jax.process_index()
+            local_slice = slice(pi * bl, (pi + 1) * bl)
+
         history: list[dict] = []
         examples_per_sec = 0.0
         train_loss = float("nan")
@@ -341,6 +361,8 @@ class Trainer:
                     continue  # batches replays the interrupted epoch exactly
                 if first_dispatch and not stack and batch_source is None:
                     self.verify_pair_alignment(idx[: min(len(idx), 256)], train_pairs)
+                if local_slice is not None:
+                    idx = idx[local_slice]
                 stack.append(idx.astype(np.int32))
                 if len(stack) == n_inner:
                     state, metrics = scan_steps(
@@ -448,11 +470,28 @@ class Trainer:
     ) -> TrainResult:
         """Train from parquet pair files too large for host memory
         (the reference's streaming modes; data/parquet_stream.py). Each
-        epoch re-streams the files with a fresh shuffle seed."""
+        epoch re-streams the files with a fresh shuffle seed.
+
+        ``cfg.data.batch_size`` is the GLOBAL batch: on a multi-process
+        mesh every host streams its own row shard and contributes
+        batch_size / process_count rows per step (put_idx assembles the
+        global batch from the per-host slices)."""
+        import jax as _jax
+
         from jodalrob_twotower_tpu.data.parquet_stream import (
             stream_pair_chunks,
             streaming_index_batches,
         )
+
+        local_b = self.cfg.data.batch_size
+        if self.mesh is not None and _jax.process_count() > 1:
+            n_proc = _jax.process_count()
+            if local_b % n_proc:
+                raise ValueError(
+                    f"batch_size {local_b} must divide jax.process_count() "
+                    f"({n_proc}) — it is the GLOBAL batch"
+                )
+            local_b //= n_proc
 
         def source(epoch: int):
             return streaming_index_batches(
@@ -464,7 +503,7 @@ class Trainer:
                     host_index=host_index,
                     host_count=host_count,
                 ),
-                self.cfg.data.batch_size,
+                local_b,
                 seed=self.cfg.data.shuffle_seed + epoch,
             )
 

@@ -142,14 +142,16 @@ def worker(process_id: int, num_processes: int) -> None:
     )
 
     # lockstep invariant first: every host gets the SAME number of batches
-    # (unequal counts would deadlock the mesh collectives mid-epoch)
+    # (unequal counts would deadlock the mesh collectives mid-epoch).
+    # cfg.data.batch_size is the GLOBAL batch; each host streams
+    # BATCH // count rows per step (Trainer.train_streaming divides).
     def batch_count() -> int:
         src = streaming_index_batches(
             stream_pair_chunks(
                 pair_file, ds.notice_store, ds.company_store,
                 chunk_rows=512, host_index=idx, host_count=count,
             ),
-            BATCH, seed=1,
+            BATCH // count, seed=1,
         )
         return sum(1 for _ in src)
 

@@ -111,10 +111,24 @@ def test_build_create_preprocessed_pk_cols():
     assert '"bidntceord" text NOT NULL' in create
     assert '"v" double precision' in create
     alter = stmts[-1]
-    assert alter.startswith("ALTER TABLE")
+    # wrapped in a DO block: replace=False re-runs hit an existing table
+    # whose constraint (or a prior PK) must not abort the upload
+    assert alter.startswith("DO $$")
+    assert "ALTER TABLE" in alter
     assert 'PRIMARY KEY ("bidntceno", "bidntceord")' in alter
+    assert "duplicate_object" in alter and "invalid_table_definition" in alter
     with pytest.raises(ValueError, match="pk_cols not in"):
         build_create_preprocessed("s", "t", {"a": "bigint"}, {}, pk_cols=["zz"])
+
+
+def test_uploader_rejects_missing_pk_col():
+    """A typo'd/mis-cased pk col must raise, not silently create a keyless
+    table."""
+    conn = FakeConn()
+    up = PreprocessedUploader(conn, pk_cols=["bidNtceNo"])
+    chunk = {"bidntceno": np.asarray(["1"], object), "v": np.asarray([1.0])}
+    with pytest.raises(ValueError, match="bidNtceNo"):
+        up.upload_chunk("t", chunk)
 
 
 def test_uploader_nonfinite_vector_rows_null():
