@@ -1,0 +1,152 @@
+"""Compressed gradient all-reduce with error feedback
+(parallel/compressed_grads.py; paper anchor PAPERS.md arxiv 2407.04272)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from jodalrob_twotower_tpu.config import (
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch, epoch_batches
+from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+from jodalrob_twotower_tpu.parallel.compressed_grads import (
+    compressed_psum_leaf,
+    make_dp_compressed_train_step,
+)
+from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+from jodalrob_twotower_tpu.train.optimizer import build_optimizer
+
+
+def _mesh8():
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+def _sync(gs, errs, method):
+    """Run one compressed sync across 8 shards; gs/errs [8, ...]."""
+    mesh = _mesh8()
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P(), P("data")), check_vma=False,
+    )
+    def run(g, e):
+        total, new_e = compressed_psum_leaf(g[0], e[0], "data", method)
+        return total, new_e[None]
+
+    return run(jnp.asarray(gs), jnp.asarray(errs))
+
+
+@pytest.mark.parametrize("method", ["none", "int16", "bf16"])
+def test_compressed_psum_close_to_exact(rng, method):
+    gs = rng.normal(size=(8, 64)).astype(np.float32)
+    errs = np.zeros_like(gs)
+    total, new_e = _sync(gs, errs, method)
+    exact = gs.sum(axis=0)
+    tol = {"none": 1e-6, "int16": 8 * np.abs(gs).max() / 127 / 2 + 1e-6,
+           "bf16": 0.05}[method]
+    np.testing.assert_allclose(np.asarray(total), exact, atol=tol)
+    if method == "none":
+        assert np.all(np.asarray(new_e) == 0)
+    elif method == "int16":
+        # residuals carry exactly what the wire dropped: sum(residuals) +
+        # synced total reconstructs the exact sum (int16 reduction is exact
+        # given the quantization, so only per-worker rounding remains)
+        np.testing.assert_allclose(
+            np.asarray(new_e).sum(axis=0) + np.asarray(total), exact, atol=1e-5
+        )
+
+
+def test_int16_error_feedback_is_unbiased(rng):
+    """A gradient far below the quantization granularity must NOT be lost:
+    with error feedback the T-step total of synced grads approaches T x the
+    exact sum (the residual carries what each step dropped)."""
+    # one large component sets the scale; the small ones sit below half a
+    # quantization step and would round to zero forever without feedback
+    g = np.full((8, 64), 1e-4, np.float32)
+    g[:, 0] = 1.0  # scale = 1/127 => granularity 7.9e-3 >> 1e-4
+    errs = np.zeros_like(g)
+    T = 200
+    acc = np.zeros(64, np.float32)
+    for _ in range(T):
+        total, errs = _sync(g, errs, "int16")
+        acc += np.asarray(total)
+    exact_total = T * g.sum(axis=0)
+    # small components: recovered to within one quantization step per worker
+    np.testing.assert_allclose(acc[1:], exact_total[1:], rtol=0.02,
+                               atol=8 * (1.0 / 127))
+    np.testing.assert_allclose(acc[0], exact_total[0], rtol=1e-3)
+
+    # control: WITHOUT feedback the small components are lost entirely
+    lost = np.zeros(64, np.float32)
+    for _ in range(T):
+        total, _ = _sync(g, np.zeros_like(g), "int16")
+        lost += np.asarray(total)
+    assert abs(lost[1]) < 1e-6  # rounded to zero every step
+
+
+@pytest.mark.parametrize("method", ["int16", "bf16"])
+def test_dp_compressed_training_learns(tiny_dataset, method):
+    """The shard_mapped DP step with compressed sync trains to within a few
+    percent of the uncompressed control on the planted-cluster data."""
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(32, 16), final_embedding_dim=8,
+            dropout_rate=0.0, compute_dtype="float32",
+        ),
+        loss=LossConfig(temperature=0.2),
+        optimizer=OptimizerConfig(learning_rate=3e-3),
+        data=DataConfig(batch_size=128),
+        results_csv="",
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+    tx = build_optimizer(cfg.optimizer, 100)
+
+    finals = {}
+    for m in (method, "none"):
+        state, err, step, put_batch = make_dp_compressed_train_step(
+            model, cfg, tx, mesh, example, 100, method=m
+        )
+        losses = []
+        for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=1)):
+            batch = put_batch(
+                assemble_pair_batch(ds.notice_store, ds.company_store, idx)
+            )
+            state, err, metrics = step(state, err, batch)
+            losses.append(float(metrics["loss"]))
+            if i >= 19:
+                break
+        finals[m] = losses
+
+    assert finals[method][-1] < finals[method][0]  # it learns
+    # compressed endpoint within a few percent of the exact-sync control
+    assert finals[method][-1] == pytest.approx(finals["none"][-1], rel=0.05)
+
+
+def test_dp_compressed_rejects_bad_method(tiny_dataset):
+    ds = tiny_dataset
+    cfg = TrainConfig(results_csv="")
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(
+        ds.notice_store, ds.company_store, ds.pairs[:64]
+    )
+    with pytest.raises(ValueError, match="method"):
+        make_dp_compressed_train_step(
+            model, cfg, build_optimizer(cfg.optimizer, 10),
+            make_mesh(jax.devices()[:8]), example, 10, method="int4",
+        )
