@@ -7,3 +7,12 @@ from jodalrob_twotower_tpu.parallel.sharded_sparse import (  # noqa: F401
     make_sharded_sparse_train,
     sparse_state_shardings,
 )
+from jodalrob_twotower_tpu.parallel.sharded_store import (  # noqa: F401
+    make_store_gather,
+    put_row_sharded_store,
+    resolve_store_placement,
+)
+from jodalrob_twotower_tpu.parallel.compressed_grads import (  # noqa: F401
+    compressed_psum_tree,
+    make_dp_compressed_train_step,
+)

@@ -407,6 +407,34 @@ def make_scanned_sparse_steps(
     return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_sampled_sparse_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    total_steps: int,
+    n_inner: int,
+    batch_size: int,
+    *,
+    donate: bool = True,
+    mesh=None,
+):
+    """ON-DEVICE batch sampling for the sparse O(batch) path (mirror of
+    train_step.make_sampled_train_steps — same resume-exact step-folded
+    draws; the pair set lives in HBM, one PRNG key per dispatch).
+
+    Call: steps(state, key, pairs_dev [P, 2], notice_store, company_store).
+    Not combined with deferred windows (a sampled deferred scan would need
+    its own aux plumbing; per-step updates are the sampled default).
+    """
+    from jodalrob_twotower_tpu.train.train_step import sampled_scan_fn
+
+    inner = make_sparse_train_step(
+        model, cfg, tx, total_steps, jit=False, with_metrics=False, mesh=mesh
+    )
+    steps_fn = sampled_scan_fn(inner, n_inner, batch_size)
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_deferred_sparse_steps(
     model: TwoTowerModel,
     cfg: TrainConfig,

@@ -187,11 +187,29 @@ class Trainer:
                     "it is incompatible with streaming batch sources"
                 )
             if cfg.sparse_tables:
-                raise NotImplementedError(
-                    "sample_on_device supports the dense paths (single-device "
-                    "and mesh); the sparse O(batch) path is host-fed"
+                if self.mesh is not None:
+                    raise NotImplementedError(
+                        "sample_on_device with sparse tables is single-device "
+                        "today; mesh sparse runs stay host-fed"
+                    )
+                if cfg.sparse_defer_updates:
+                    raise NotImplementedError(
+                        "sample_on_device does not combine with "
+                        "sparse_defer_updates (per-step updates are the "
+                        "sampled default — train/sparse_tables.py)"
+                    )
+                from jodalrob_twotower_tpu.train.sparse_tables import (
+                    make_sampled_sparse_steps,
                 )
-            if self.mesh is not None:
+
+                def sampled_fn(k: int) -> Callable:
+                    if k not in sampled_steps:
+                        sampled_steps[k] = make_sampled_sparse_steps(
+                            self.model, cfg, tx, total_steps, k, b
+                        )
+                    return sampled_steps[k]
+
+            elif self.mesh is not None:
                 from jodalrob_twotower_tpu.parallel.mesh import replicated
                 from jodalrob_twotower_tpu.parallel.sharded_train import (
                     make_sharded_sampled_steps,
