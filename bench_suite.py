@@ -694,7 +694,11 @@ def serving_sharded_mesh() -> None:
     print(proc.stdout, end="", flush=True)
 
 
-def corpus_eval() -> None:
+def corpus_eval(device_stores: bool = False) -> None:
+    """``device_stores=True`` places the stores in HBM first
+    (Trainer.prepare_device_eval): the corpus side then encodes with ZERO
+    feature H2D (evaluator.encode_corpus_device) — the post-train eval
+    path, vs the host path that re-ships every feature."""
     import jax
 
     from jodalrob_twotower_tpu.config import TrainConfig
@@ -709,10 +713,13 @@ def corpus_eval() -> None:
     trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None)
     warm = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:256])
     state, _ = create_train_state(trainer.model, cfg, jax.random.PRNGKey(0), warm, 10)
+    if device_stores:
+        trainer.prepare_device_eval()
     t0 = time.perf_counter()
     res = trainer.corpus_eval(state, ds.pairs[:8192])
     dt = time.perf_counter() - t0
-    _emit("corpus_eval", queries=res.num_queries, corpus_size=res.corpus_size,
+    name = "corpus_eval_device" if device_stores else "corpus_eval"
+    _emit(name, queries=res.num_queries, corpus_size=res.corpus_size,
           wall_s=round(dt, 2), recall_at_100_untrained=round(res.recall[100], 4))
 
 
@@ -748,6 +755,7 @@ BENCHES = {
     "fused_ce_paths_eps_b32768": lambda: fused_ce_paths(
         b=32768, eps=0.1, include_xla=False),
     "corpus_eval": corpus_eval,
+    "corpus_eval_device": lambda: corpus_eval(device_stores=True),
 }
 
 

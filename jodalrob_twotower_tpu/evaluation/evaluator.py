@@ -57,6 +57,8 @@ class Evaluator:
         self._eval_step = make_eval_step(model, cfg)
         self._encode_notice = make_encode_fn(model, "notice")
         self._encode_company = make_encode_fn(model, "company")
+        self._indexed_eval = None  # built lazily (train_step.make_indexed_eval_steps)
+        self._dev_encoders: dict = {}
 
     def evaluate(self, state, batches: Iterable[PairBatch]) -> dict[str, float]:
         """Average the in-batch metrics over all batches (reference
@@ -79,6 +81,88 @@ class Evaluator:
         out["num_batches"] = float(n)
         out["assessment_batch_size"] = float(batch_size)
         return out
+
+    def evaluate_indexed(
+        self,
+        state,
+        pairs: np.ndarray,
+        notice_store,
+        company_store,
+        *,
+        batch_size: int,
+        stack: int = 32,
+    ) -> dict[str, float]:
+        """evaluate() over DEVICE-RESIDENT stores: only [n, B, 2] indices
+        cross the link and whole stacks of batches run in one dispatch
+        (train_step.make_indexed_eval_steps). Same metric surface as
+        :meth:`evaluate`; partial trailing batches are dropped (eval over
+        thousands of batches is insensitive; the host path remains for
+        exact small-set eval)."""
+        from jodalrob_twotower_tpu.train.train_step import (
+            make_indexed_eval_steps,
+        )
+
+        n_batches = len(pairs) // batch_size
+        if n_batches == 0:
+            return {}
+        if self._indexed_eval is None:
+            self._indexed_eval = make_indexed_eval_steps(self.model, self.cfg)
+        idx = pairs[: n_batches * batch_size].astype(np.int32).reshape(
+            n_batches, batch_size, 2
+        )
+        totals: dict[str, float] = {}
+        done = 0
+        for start in range(0, n_batches, stack):
+            chunk = idx[start : start + stack]
+            m = jax.device_get(
+                self._indexed_eval(
+                    state, jax.device_put(chunk), notice_store, company_store
+                )
+            )
+            w = len(chunk)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * w
+            done += w
+        out = {k: v / done for k, v in totals.items()}
+        out["num_batches"] = float(done)
+        out["assessment_batch_size"] = float(batch_size)
+        return out
+
+    def encode_corpus_device(
+        self,
+        state,
+        store,
+        n_rows: int,
+        *,
+        side: str = "company",
+        chunk: int = 8192,
+    ) -> jax.Array:
+        """encode_corpus() over a DEVICE-RESIDENT (dense, cat_ids) store
+        tuple: zero feature H2D (the whole-store host path ships 5+ GB at
+        10M rows). The store's row count may exceed ``n_rows`` (padding);
+        the returned embeddings are sliced to ``n_rows``."""
+        from jodalrob_twotower_tpu.train.train_step import (
+            make_device_encode_fn,
+        )
+
+        store_rows = store[0].shape[0]
+        chunk = min(chunk, store_rows)
+        key = (side, chunk)
+        if key not in self._dev_encoders:
+            self._dev_encoders[key] = make_device_encode_fn(
+                self.model, side, chunk
+            )
+        encode = self._dev_encoders[key]
+        # fixed-size chunks (one compiled program); the final chunk starts
+        # early when store_rows % chunk != 0, so drop its overlapping head
+        pieces = []
+        covered = 0
+        while covered < store_rows:
+            start = min(covered, store_rows - chunk)
+            emb = encode(state, store, start)
+            pieces.append(emb[covered - start :])
+            covered = start + chunk
+        return jnp.concatenate(pieces, axis=0)[:n_rows]
 
     # -- corpus-level ------------------------------------------------------
     def encode_corpus(

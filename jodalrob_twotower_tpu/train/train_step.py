@@ -428,6 +428,78 @@ def make_eval_step(
     return jax.jit(eval_fn) if jit else eval_fn
 
 
+def make_indexed_eval_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    *,
+    jit: bool = True,
+):
+    """Eval over DEVICE-RESIDENT stores, many batches per dispatch.
+
+    ``steps(state, idx_stack [n, B, 2], notice_store, company_store)``
+    gathers each batch on-device, runs the eval step under ``lax.scan`` and
+    returns the metrics AVERAGED over the stack — one dispatch (and one
+    host fetch) per stack instead of per batch. The host-assembled
+    evaluator path ships ~27 MB of features per 8192-batch over the link
+    (the training bottleneck the indexed steps were built to kill, and the
+    same cost paid again every validation epoch); here the wire carries
+    only the [n, B, 2] indices.
+    """
+    eval_core = make_eval_step(model, cfg, jit=False)
+
+    def steps_fn(state: TrainState, idx_stack, notice_store, company_store):
+        n_dense, n_cat = notice_store
+        c_dense, c_cat = company_store
+
+        def body(carry, pair_idx):
+            batch = PairBatch(
+                notice=TowerBatch(
+                    dense=jnp.take(n_dense, pair_idx[:, 0], axis=0),
+                    cat_ids=jnp.take(n_cat, pair_idx[:, 0], axis=0),
+                ),
+                company=TowerBatch(
+                    dense=jnp.take(c_dense, pair_idx[:, 1], axis=0),
+                    cat_ids=jnp.take(c_cat, pair_idx[:, 1], axis=0),
+                ),
+            )
+            return carry, eval_core(state, batch)
+
+        _, stacked = jax.lax.scan(body, None, idx_stack)
+        return jax.tree.map(lambda v: jnp.mean(v, axis=0), stacked)
+
+    return jax.jit(steps_fn) if jit else steps_fn
+
+
+def make_device_encode_fn(
+    model: TwoTowerModel,
+    side: str,
+    chunk: int,
+    *,
+    jit: bool = True,
+):
+    """Chunked single-side encoder over a DEVICE-RESIDENT store.
+
+    ``encode(state, store, start)`` embeds store rows
+    ``[start, start+chunk)`` (dynamic slice — one compiled program serves
+    every chunk). The corpus-encode path previously shipped the whole
+    store's features from host per eval (5+ GB at 10M rows); with the
+    training stores already in HBM this costs zero H2D."""
+
+    def encode(state: TrainState, store, start):
+        dense, cat = store
+        tb = TowerBatch(
+            dense=jax.lax.dynamic_slice_in_dim(dense, start, chunk, axis=0),
+            cat_ids=jax.lax.dynamic_slice_in_dim(cat, start, chunk, axis=0),
+        )
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        method = {"notice": model.encode_notice, "company": model.encode_company}[side]
+        return model.apply(variables, tb, train=False, method=method)
+
+    return jax.jit(encode) if jit else encode
+
+
 def make_encode_fn(
     model: TwoTowerModel,
     side: str,

@@ -304,6 +304,12 @@ class Trainer:
             pairs_dev = put_pairs(train_pairs.astype(np.int32))
             sample_key = jax.random.PRNGKey(cfg.data.shuffle_seed)
 
+        # single-device runs reuse the training stores for validation and
+        # corpus encoding (device-resident eval: indices-only H2D instead of
+        # re-shipping features every epoch — evaluator.evaluate_indexed /
+        # encode_corpus_device). Mesh runs keep the host eval path.
+        self._dev_stores = (n_store, c_store) if self.mesh is None else None
+
         # multi-host (multi-process mesh): cfg.data.batch_size is the GLOBAL
         # batch. In-memory epochs are generated identically on every process
         # (same pairs + seed), so each process feeds only its stripe of each
@@ -533,6 +539,19 @@ class Trainer:
             **train_kwargs,
         )
 
+    def prepare_device_eval(self) -> None:
+        """Place both feature stores in HBM so validate()/corpus_eval() run
+        device-resident (indices-only H2D) without a prior train() —
+        standalone-eval entry point. Single-device only (train() manages
+        mesh placements itself)."""
+        if self.mesh is not None:
+            raise NotImplementedError("device-resident eval is single-device")
+        store_dt = self._device_store_dtype()
+        self._dev_stores = (
+            device_store(self.notice_store, dtype=store_dt),
+            device_store(self.company_store, dtype=store_dt),
+        )
+
     def _device_store_dtype(self):
         """Resolved dtype for the device-resident dense feature blocks
         (DataConfig.device_store_dtype; None = keep the host f32)."""
@@ -587,6 +606,13 @@ class Trainer:
     def validate(self, state, val_pairs: np.ndarray) -> dict[str, float]:
         b = self.cfg.data.batch_size
         state = self._eval_view(state)
+        dev = getattr(self, "_dev_stores", None)
+        if dev is not None and len(val_pairs) >= b:
+            # device-resident eval: whole stacks of batches per dispatch,
+            # only indices over the link
+            return self.evaluator.evaluate_indexed(
+                state, val_pairs, dev[0], dev[1], batch_size=b
+            )
         batches = (
             assemble_pair_batch(self.notice_store, self.company_store, idx)
             for idx in epoch_batches(val_pairs, b, shuffle=False)
@@ -596,9 +622,17 @@ class Trainer:
     def corpus_eval(self, state, val_pairs: np.ndarray, ks: tuple[int, ...] = (10, 100)):
         """Rank each val notice's paired company against the full corpus."""
         state = self._eval_view(state)
-        corpus_emb = self.evaluator.encode_corpus(
-            state, self.company_store.dense, self.company_store.cat_ids, side="company"
-        )
+        dev = getattr(self, "_dev_stores", None)
+        if dev is not None:
+            # the big side encodes straight from the HBM-resident store
+            corpus_emb = self.evaluator.encode_corpus_device(
+                state, dev[1], len(self.company_store), side="company"
+            )
+        else:
+            corpus_emb = self.evaluator.encode_corpus(
+                state, self.company_store.dense, self.company_store.cat_ids,
+                side="company",
+            )
         q_rows = val_pairs[:, 0]
         query_emb = self.evaluator.encode_corpus(
             state,

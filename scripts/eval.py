@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--demo-queries", type=int, default=0,
                    help="show top-10 predictions for the first N validation queries")
     p.add_argument("--output", type=Path, help="write the JSON report here (default: stdout)")
+    p.add_argument("--host-eval", action="store_true",
+                   help="assemble eval batches on the host instead of "
+                   "placing the feature stores in HBM (device-resident "
+                   "eval is the default: indices-only H2D; opt out when "
+                   "the stores exceed device memory)")
     return p.parse_args(argv)
 
 
@@ -101,6 +106,12 @@ def main(argv=None) -> int:
 
     evaluator = Evaluator(model, cfg)
 
+    dev_stores = None
+    if not args.host_eval:
+        from jodalrob_twotower_tpu.train.train_step import device_store
+
+        dev_stores = (device_store(notice_store), device_store(company_store))
+
     def batches():
         for start in range(0, len(val_pairs) - b + 1, b):
             yield assemble_pair_batch(
@@ -108,15 +119,24 @@ def main(argv=None) -> int:
             )
 
     report: dict = {"model_dir": str(args.model_dir), "num_val_pairs": int(len(val_pairs))}
-    metrics = evaluator.evaluate(state, batches())
+    if dev_stores is not None and len(val_pairs) >= b:
+        metrics = evaluator.evaluate_indexed(
+            state, val_pairs, dev_stores[0], dev_stores[1], batch_size=b
+        )
+    else:
+        metrics = evaluator.evaluate(state, batches())
     report["in_batch"] = {k: round(v, 6) for k, v in metrics.items()}
     report["random_baselines"] = {k: round(v, 6) for k, v in random_baselines(b).items()}
     report["assessment"] = qualitative_assessment(metrics, b)
 
     if not args.no_corpus_eval and len(val_pairs):
         ks = tuple(int(k) for k in args.ks.split(","))
-        corpus_emb = evaluator.encode_corpus(
-            state, company_store.dense, company_store.cat_ids, side="company")
+        if dev_stores is not None:
+            corpus_emb = evaluator.encode_corpus_device(
+                state, dev_stores[1], len(company_store), side="company")
+        else:
+            corpus_emb = evaluator.encode_corpus(
+                state, company_store.dense, company_store.cat_ids, side="company")
         query_emb = evaluator.encode_corpus(
             state, notice_store.dense[val_pairs[:, 0]],
             notice_store.cat_ids[val_pairs[:, 0]], side="notice")

@@ -352,3 +352,74 @@ def test_cli_sample_on_device(tmp_path):
     )
     assert bad.returncode != 0
     assert "incompatible" in bad.stderr
+
+
+def test_indexed_eval_matches_host_eval(tiny_dataset):
+    """Device-resident eval (evaluate_indexed: indices-only H2D, stacked
+    dispatches) computes the same metrics as the host-assembled path."""
+    import jax.numpy as jnp
+
+    from jodalrob_twotower_tpu.data.pipeline import (
+        assemble_pair_batch as apb,
+        epoch_batches,
+    )
+    from jodalrob_twotower_tpu.evaluation.evaluator import Evaluator
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.train.train_step import (
+        create_train_state,
+        device_store,
+    )
+
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(32, 16), final_embedding_dim=8,
+            dropout_rate=0.0, compute_dtype="float32",
+        ),
+        results_csv="",
+    )
+    model = TwoTowerModel(ds.schema, cfg.model)
+    warm = apb(ds.notice_store, ds.company_store, ds.pairs[:64])
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 10)
+    ev = Evaluator(model, cfg)
+    pairs = ds.pairs[:300]  # 4 batches of 64 + dropped remainder
+
+    host = ev.evaluate(
+        state,
+        (apb(ds.notice_store, ds.company_store, idx)
+         for idx in epoch_batches(pairs, 64, shuffle=False)),
+    )
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+    dev = ev.evaluate_indexed(state, pairs, n_store, c_store,
+                              batch_size=64, stack=3)
+    assert set(dev) == set(host)
+    for k in host:
+        np.testing.assert_allclose(dev[k], host[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+    # device corpus encode == host corpus encode, non-multiple chunk
+    host_emb = ev.encode_corpus(
+        state, ds.company_store.dense, ds.company_store.cat_ids,
+        side="company", batch_size=128,
+    )
+    dev_emb = ev.encode_corpus_device(
+        state, c_store, len(ds.company_store), side="company", chunk=100
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev_emb), np.asarray(host_emb), rtol=1e-5, atol=1e-6
+    )
+    # padded store (row-sharded style): trailing pad rows must not leak
+    pad_store = (
+        jnp.concatenate([n_store[0][:0], c_store[0],
+                         jnp.zeros((7, c_store[0].shape[1]), c_store[0].dtype)]),
+        jnp.concatenate([c_store[1],
+                         jnp.zeros((7, c_store[1].shape[1]), c_store[1].dtype)]),
+    )
+    dev_emb2 = ev.encode_corpus_device(
+        state, pad_store, len(ds.company_store), side="company", chunk=100
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev_emb2), np.asarray(host_emb), rtol=1e-5, atol=1e-6
+    )
