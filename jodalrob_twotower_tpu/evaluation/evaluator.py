@@ -91,13 +91,16 @@ class Evaluator:
         *,
         batch_size: int,
         stack: int = 32,
+        put_idx=None,
     ) -> dict[str, float]:
         """evaluate() over DEVICE-RESIDENT stores: only [n, B, 2] indices
         cross the link and whole stacks of batches run in one dispatch
         (train_step.make_indexed_eval_steps). Same metric surface as
         :meth:`evaluate`; partial trailing batches are dropped (eval over
         thousands of batches is insensitive; the host path remains for
-        exact small-set eval)."""
+        exact small-set eval). ``put_idx`` overrides the index placement
+        (mesh runs pass a replicated put so the jit sees consistently
+        placed inputs)."""
         from jodalrob_twotower_tpu.train.train_step import (
             make_indexed_eval_steps,
         )
@@ -107,6 +110,7 @@ class Evaluator:
             return {}
         if self._indexed_eval is None:
             self._indexed_eval = make_indexed_eval_steps(self.model, self.cfg)
+        put = put_idx if put_idx is not None else jax.device_put
         idx = pairs[: n_batches * batch_size].astype(np.int32).reshape(
             n_batches, batch_size, 2
         )
@@ -116,7 +120,7 @@ class Evaluator:
             chunk = idx[start : start + stack]
             m = jax.device_get(
                 self._indexed_eval(
-                    state, jax.device_put(chunk), notice_store, company_store
+                    state, put(chunk), notice_store, company_store
                 )
             )
             w = len(chunk)

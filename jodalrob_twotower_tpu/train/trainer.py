@@ -304,11 +304,25 @@ class Trainer:
             pairs_dev = put_pairs(train_pairs.astype(np.int32))
             sample_key = jax.random.PRNGKey(cfg.data.shuffle_seed)
 
-        # single-device runs reuse the training stores for validation and
-        # corpus encoding (device-resident eval: indices-only H2D instead of
-        # re-shipping features every epoch — evaluator.evaluate_indexed /
-        # encode_corpus_device). Mesh runs keep the host eval path.
-        self._dev_stores = (n_store, c_store) if self.mesh is None else None
+        # reuse the training stores for validation and corpus encoding
+        # (device-resident eval: indices-only H2D instead of re-shipping
+        # features every epoch — evaluator.evaluate_indexed /
+        # encode_corpus_device). Mesh runs with REPLICATED stores qualify
+        # too (idx placed replicated so the jit's inputs are consistently
+        # meshed); row-sharded stores and multi-process runs keep the host
+        # path (a plain jnp.take from a rows-sharded store could tempt the
+        # partitioner into all-gathering the very store that was too big to
+        # replicate).
+        self._dev_stores = None
+        self._eval_put_idx = None
+        if self.mesh is None:
+            self._dev_stores = (n_store, c_store)
+        elif cfg.mesh.store_sharding != "rows" and jax.process_count() == 1:
+            from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+            rep_eval = replicated(self.mesh)
+            self._dev_stores = (n_store, c_store)
+            self._eval_put_idx = lambda x: jax.device_put(x, rep_eval)
 
         # multi-host (multi-process mesh): cfg.data.batch_size is the GLOBAL
         # batch. In-memory epochs are generated identically on every process
@@ -611,7 +625,8 @@ class Trainer:
             # device-resident eval: whole stacks of batches per dispatch,
             # only indices over the link
             return self.evaluator.evaluate_indexed(
-                state, val_pairs, dev[0], dev[1], batch_size=b
+                state, val_pairs, dev[0], dev[1], batch_size=b,
+                put_idx=getattr(self, "_eval_put_idx", None),
             )
         batches = (
             assemble_pair_batch(self.notice_store, self.company_store, idx)
