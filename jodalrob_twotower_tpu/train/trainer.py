@@ -338,7 +338,7 @@ class Trainer:
         if self.mesh is not None and n_proc > 1 and batch_source is None:
             if b % n_proc:
                 raise ValueError(
-                    f"batch_size {b} must divide jax.process_count() ({n_proc})"
+                    f"jax.process_count() ({n_proc}) must divide batch_size {b}"
                 )
             bl = b // n_proc
             pi = jax.process_index()
@@ -526,8 +526,8 @@ class Trainer:
             n_proc = _jax.process_count()
             if local_b % n_proc:
                 raise ValueError(
-                    f"batch_size {local_b} must divide jax.process_count() "
-                    f"({n_proc}) — it is the GLOBAL batch"
+                    f"jax.process_count() ({n_proc}) must divide batch_size "
+                    f"{local_b} — it is the GLOBAL batch"
                 )
             local_b //= n_proc
 
