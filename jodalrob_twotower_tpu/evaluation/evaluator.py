@@ -114,21 +114,32 @@ class Evaluator:
         idx = pairs[: n_batches * batch_size].astype(np.int32).reshape(
             n_batches, batch_size, 2
         )
-        totals: dict[str, float] = {}
-        done = 0
-        for start in range(0, n_batches, stack):
-            chunk = idx[start : start + stack]
-            m = jax.device_get(
-                self._indexed_eval(
-                    state, put(chunk), notice_store, company_store
-                )
+        stack = min(stack, n_batches)
+        # ONE compiled signature: the final stack starts early when
+        # n_batches % stack != 0 (overlap) and its already-covered head is
+        # sliced off host-side (the scan returns per-batch metrics). All
+        # dispatches are issued before any fetch — a per-stack device_get
+        # would serialize on the ~30 ms tunnel RTT each (CLAUDE.md).
+        starts = list(range(0, n_batches - stack + 1, stack))
+        if starts[-1] + stack < n_batches:
+            starts.append(n_batches - stack)
+        results = []
+        for i, start in enumerate(starts):
+            # for the overlapping final stack keep only the uncovered tail
+            prev_end = starts[i - 1] + stack if i else 0
+            keep = start + stack - max(prev_end, start)
+            m = self._indexed_eval(
+                state, put(idx[start : start + stack]), notice_store,
+                company_store,
             )
-            w = len(chunk)
+            results.append((keep, m))
+        fetched = jax.device_get([m for _, m in results])
+        totals: dict[str, float] = {}
+        for (keep, _), m in zip(results, fetched):
             for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * w
-            done += w
-        out = {k: v / done for k, v in totals.items()}
-        out["num_batches"] = float(done)
+                totals[k] = totals.get(k, 0.0) + float(np.sum(v[-keep:]))
+        out = {k: v / n_batches for k, v in totals.items()}
+        out["num_batches"] = float(n_batches)
         out["assessment_batch_size"] = float(batch_size)
         return out
 

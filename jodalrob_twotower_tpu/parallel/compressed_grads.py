@@ -121,8 +121,15 @@ def make_dp_compressed_train_step(
     n_shards = mesh.shape[axis]
     if example_batch.batch_size % n_shards:
         raise ValueError(
-            f"batch_size {example_batch.batch_size} must divide the "
-            f"{axis!r} axis ({n_shards})"
+            f"the {axis!r} axis ({n_shards}) must divide batch_size "
+            f"{example_batch.batch_size}"
+        )
+    if method == "int16" and n_shards > 256:
+        # the int16-psum exactness precondition: n x 127 <= 32767. Beyond
+        # it the reduction would WRAP silently and corrupt every gradient.
+        raise ValueError(
+            f"method='int16' is exact only up to 256 workers (int16 sum of "
+            f"int8 quanta); the {axis!r} axis has {n_shards} — use 'bf16'"
         )
 
     state, _ = create_train_state(
@@ -142,7 +149,14 @@ def make_dp_compressed_train_step(
     def local_step(state, err, batch):
         # err arrives [1, ...] (this worker's slice); drop the device dim
         err = jax.tree.map(lambda e: e[0], err)
-        dropout_rng = jax.random.fold_in(state.rng, state.step)
+        # fold the worker index in too: with only (rng, step) every shard
+        # would draw the SAME dropout mask for its local batch, correlating
+        # the regularization noise across the whole global batch (the GSPMD
+        # path draws one independent mask per example row)
+        dropout_rng = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step),
+            jax.lax.axis_index(axis),
+        )
 
         def loss_fn(params):
             return _forward_loss(

@@ -374,6 +374,19 @@ def make_sampled_train_steps(
     return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
 
 
+def resolve_store_dtype(cfg: TrainConfig):
+    """Resolved dtype for device-resident dense feature blocks
+    (DataConfig.device_store_dtype; None = keep host f32). "auto" stores at
+    the model compute dtype — bf16 halves HBM/H2D and is bit-identical
+    since the towers cast dense inputs to compute dtype anyway."""
+    mode = cfg.data.device_store_dtype
+    if mode == "bfloat16" or (
+        mode == "auto" and cfg.model.compute_dtype == "bfloat16"
+    ):
+        return jnp.bfloat16
+    return None
+
+
 def device_store(feature_store, *, sharding=None, dtype=None):
     """Put a host FeatureStore's matrices on device once, for indexed steps.
 
@@ -437,13 +450,15 @@ def make_indexed_eval_steps(
     """Eval over DEVICE-RESIDENT stores, many batches per dispatch.
 
     ``steps(state, idx_stack [n, B, 2], notice_store, company_store)``
-    gathers each batch on-device, runs the eval step under ``lax.scan`` and
-    returns the metrics AVERAGED over the stack — one dispatch (and one
-    host fetch) per stack instead of per batch. The host-assembled
-    evaluator path ships ~27 MB of features per 8192-batch over the link
-    (the training bottleneck the indexed steps were built to kill, and the
-    same cost paid again every validation epoch); here the wire carries
-    only the [n, B, 2] indices.
+    gathers each batch on-device and runs the eval step under ``lax.scan``,
+    returning PER-BATCH metrics stacked [n] — one dispatch per stack
+    instead of per batch, and the caller averages host-side (per-batch
+    granularity lets an overlapping final stack be de-duplicated without a
+    second compiled signature). The host-assembled evaluator path ships
+    ~27 MB of features per 8192-batch over the link (the training
+    bottleneck the indexed steps were built to kill, and the same cost
+    paid again every validation epoch); here the wire carries only the
+    [n, B, 2] indices and [n]-sized metric vectors.
     """
     eval_core = make_eval_step(model, cfg, jit=False)
 
@@ -465,7 +480,7 @@ def make_indexed_eval_steps(
             return carry, eval_core(state, batch)
 
         _, stacked = jax.lax.scan(body, None, idx_stack)
-        return jax.tree.map(lambda v: jnp.mean(v, axis=0), stacked)
+        return stacked
 
     return jax.jit(steps_fn) if jit else steps_fn
 

@@ -567,14 +567,10 @@ class Trainer:
         )
 
     def _device_store_dtype(self):
-        """Resolved dtype for the device-resident dense feature blocks
-        (DataConfig.device_store_dtype; None = keep the host f32)."""
-        mode = self.cfg.data.device_store_dtype
-        if mode == "bfloat16" or (
-            mode == "auto" and self.cfg.model.compute_dtype == "bfloat16"
-        ):
-            return jnp.bfloat16
-        return None
+        """Resolved dtype for the device-resident dense feature blocks."""
+        from jodalrob_twotower_tpu.train.train_step import resolve_store_dtype
+
+        return resolve_store_dtype(self.cfg)
 
     @staticmethod
     def verify_pair_alignment(batch_idx: np.ndarray, pairs: np.ndarray) -> None:

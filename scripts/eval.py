@@ -108,9 +108,19 @@ def main(argv=None) -> int:
 
     dev_stores = None
     if not args.host_eval:
-        from jodalrob_twotower_tpu.train.train_step import device_store
+        from jodalrob_twotower_tpu.train.train_step import (
+            device_store,
+            resolve_store_dtype,
+        )
 
-        dev_stores = (device_store(notice_store), device_store(company_store))
+        # honor the config's store dtype (bf16 halves H2D + HBM for
+        # bf16-compute checkpoints — exactly the big-store case the
+        # device default targets)
+        store_dt = resolve_store_dtype(cfg)
+        dev_stores = (
+            device_store(notice_store, dtype=store_dt),
+            device_store(company_store, dtype=store_dt),
+        )
 
     def batches():
         for start in range(0, len(val_pairs) - b + 1, b):

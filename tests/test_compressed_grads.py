@@ -150,3 +150,25 @@ def test_dp_compressed_rejects_bad_method(tiny_dataset):
             model, cfg, build_optimizer(cfg.optimizer, 10),
             make_mesh(jax.devices()[:8]), example, 10, method="int4",
         )
+
+
+def test_int16_rejects_too_many_workers(tiny_dataset):
+    """int16 psum exactness holds only to 256 workers; beyond it the sum
+    would wrap silently — the builder must refuse."""
+    import types
+
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
+
+    ds = tiny_dataset
+    cfg = TrainConfig(results_csv="")
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store,
+                                  ds.pairs[:512])
+    fake_mesh = types.SimpleNamespace(shape={"data": 512})
+    with pytest.raises(ValueError, match="256 workers"):
+        make_dp_compressed_train_step(
+            model, cfg, build_optimizer(cfg.optimizer, 10),
+            fake_mesh, example, 10, method="int16",
+        )

@@ -412,7 +412,7 @@ def test_indexed_eval_matches_host_eval(tiny_dataset):
     )
     # padded store (row-sharded style): trailing pad rows must not leak
     pad_store = (
-        jnp.concatenate([n_store[0][:0], c_store[0],
+        jnp.concatenate([c_store[0],
                          jnp.zeros((7, c_store[0].shape[1]), c_store[0].dtype)]),
         jnp.concatenate([c_store[1],
                          jnp.zeros((7, c_store[1].shape[1]), c_store[1].dtype)]),
