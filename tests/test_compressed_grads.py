@@ -172,3 +172,42 @@ def test_int16_rejects_too_many_workers(tiny_dataset):
             model, cfg, build_optimizer(cfg.optimizer, 10),
             fake_mesh, example, 10, method="int16",
         )
+
+
+def test_dp_compressed_with_batchnorm_and_dropout(tiny_dataset):
+    """BN running stats pmean across shards + per-shard dropout keys: the
+    step runs, learns, and batch_stats stay replicated-consistent."""
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(32, 16), final_embedding_dim=8,
+            dropout_rate=0.2, use_batch_norm=True, compute_dtype="float32",
+        ),
+        loss=LossConfig(temperature=0.2),
+        optimizer=OptimizerConfig(learning_rate=3e-3),
+        data=DataConfig(batch_size=128),
+        results_csv="",
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+    tx = build_optimizer(cfg.optimizer, 100)
+    state, err, step, put_batch = make_dp_compressed_train_step(
+        model, cfg, tx, mesh, example, 100, method="int16"
+    )
+    losses = []
+    for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=2)):
+        batch = put_batch(
+            assemble_pair_batch(ds.notice_store, ds.company_store, idx)
+        )
+        state, err, metrics = step(state, err, batch)
+        losses.append(float(metrics["loss"]))
+        if i >= 11:
+            break
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+    # batch_stats came back replicated (out_specs P()) and finite
+    for leaf in jax.tree.leaves(state.batch_stats):
+        assert np.all(np.isfinite(np.asarray(leaf)))
