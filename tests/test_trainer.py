@@ -423,3 +423,37 @@ def test_indexed_eval_matches_host_eval(tiny_dataset):
     np.testing.assert_allclose(
         np.asarray(dev_emb2), np.asarray(host_emb), rtol=1e-5, atol=1e-6
     )
+
+
+def test_indexed_eval_single_compiled_signature(tiny_dataset):
+    """A partial final stack must REUSE the one compiled signature via the
+    overlapping start (a fresh tail shape would cost a 30-160 s remote
+    recompile on the tunneled TPU — CLAUDE.md)."""
+    from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch as apb
+    from jodalrob_twotower_tpu.evaluation.evaluator import Evaluator
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.train.train_step import (
+        create_train_state,
+        device_store,
+    )
+
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(16,), final_embedding_dim=8,
+            dropout_rate=0.0, compute_dtype="float32",
+        ),
+        results_csv="",
+    )
+    model = TwoTowerModel(ds.schema, cfg.model)
+    warm = apb(ds.notice_store, ds.company_store, ds.pairs[:32])
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), warm, 10)
+    ev = Evaluator(model, cfg)
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+    # 11 batches of 32, stack 4 -> stacks [0,4,8] + overlapping tail at 7
+    out = ev.evaluate_indexed(state, ds.pairs[: 11 * 32], n_store, c_store,
+                              batch_size=32, stack=4)
+    assert out["num_batches"] == 11.0
+    assert ev._indexed_eval._cache_size() == 1
