@@ -40,7 +40,7 @@ def _emit(name: str, **fields) -> None:
 
 
 def train_scaled(sparse: bool = False, deferred: bool = False,
-                 dedup: str = "exact") -> None:
+                 dedup: str = "exact", sampled: bool = False) -> None:
     """Scaled tables: 8 features x 1.25M vocab = 10M rows, dim 64.
 
     ``deferred``: sparse path with one batched table update per 8-step scan
@@ -49,7 +49,11 @@ def train_scaled(sparse: bool = False, deferred: bool = False,
     sparse_duplicate_handling — "exact" (default semantics) pays a
     segment-sum pass over the window's cotangents; "per_occurrence" skips
     it (exact only on duplicate-free batches; at 10M-row vocabs ~1.7% of a
-    window's ids collide)."""
+    window's ids collide). ``sampled``: the MESH sampled-sparse path
+    (parallel/sharded_sparse.make_sharded_sampled_sparse, VERDICT r3 #3)
+    on a 1-device mesh — on-device batch draws, ONE PRNG key per 8-step
+    dispatch instead of a [8, B, 2] index stack (the config that stays
+    immune to tunnel H2D congestion at the 10M-vocab scale)."""
     import jax
 
     from jodalrob_twotower_tpu.config import (
@@ -108,6 +112,49 @@ def train_scaled(sparse: bool = False, deferred: bool = False,
             make_deferred_sparse_steps,
             make_sparse_train_step,
         )
+
+        if sampled:
+            from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+            from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+                make_sharded_sampled_sparse,
+                make_sharded_sparse_train,
+            )
+
+            mesh = make_mesh(jax.devices()[:1])
+            state_m, _, _, put_store = make_sharded_sparse_train(
+                model, cfg, mesh, warm, 100
+            )
+            table_rows = state_m.notice_table.table.shape[0]
+            W = 8
+            steps, put_pairs = make_sharded_sampled_sparse(
+                model, cfg, mesh, state_m, W, b, 100
+            )
+            n_store = put_store((ds.notice_store.dense, ds.notice_store.cat_ids))
+            c_store = put_store((ds.company_store.dense, ds.company_store.cat_ids))
+            pairs_dev = put_pairs(ds.pairs.astype(np.int32))
+            key = jax.random.PRNGKey(0)
+            state_m, m = steps(state_m, key, pairs_dev, n_store, c_store)
+            float(np.asarray(m["loss"])[-1])  # compile + settle
+            t0 = time.perf_counter()
+            n_disp = 5
+            for i in range(n_disp):
+                state_m, m = steps(
+                    state_m, jax.random.fold_in(key, i), pairs_dev,
+                    n_store, c_store,
+                )
+            float(np.asarray(m["loss"])[-1])
+            dt = (time.perf_counter() - t0) / (n_disp * W)
+            _emit(
+                "train_scaled_sparse_sampled",
+                examples_per_sec=round(b / dt, 1),
+                step_ms=round(dt * 1e3, 2),
+                window=W,
+                dedup=dedup,
+                table_rows_per_tower=int(table_rows),
+                embedding_params=int(2 * table_rows * 64),
+                batch=b,
+            )
+            return
 
         state, tx = create_sparse_train_state(model, cfg, jax.random.PRNGKey(0), warm, 100)
         table_rows = state.notice_table.table.shape[0]
@@ -732,6 +779,7 @@ BENCHES = {
     "train_scaled_sparse_deferred": lambda: train_scaled(sparse=True, deferred=True),
     "train_scaled_sparse_deferred_peroc": lambda: train_scaled(
         sparse=True, deferred=True, dedup="per_occurrence"),
+    "train_scaled_sparse_sampled": lambda: train_scaled(sparse=True, sampled=True),
     "sparse_dedup_convergence": sparse_dedup_convergence,
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),

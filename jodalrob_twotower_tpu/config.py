@@ -44,6 +44,16 @@ class ModelConfig:
     # ~0.6ms MXU pass when vocabs are small relative to the batch
     # (ops/embedding_grad.py).
     embedding_grad: str = "auto"
+    # Embedding-table FORWARD path: "auto" | "gather" | "onehot". "onehot"
+    # computes the lookup as the one-hot MXU matmul (the forward twin of
+    # the dense-grad kernel, ops/embedding_grad.make_onehot_lookup)
+    # instead of the row-DMA gather: the 262k random row-DMAs per step
+    # (row-count-bound, the step's largest per-op line) become ~17 GFLOP
+    # of bf16 MXU work. Measured in-step on the chip (BENCHMARKS.md round
+    # 4): 2.08 vs 2.66 ms/step at the flagship shape, bit-exact output —
+    # so "auto" resolves to the kernel on single-device TPU for tables in
+    # the dense-grad envelope, and to the gather elsewhere.
+    embedding_lookup: str = "auto"
 
     def __post_init__(self) -> None:
         if self.dropout_rng_impl not in ("threefry", "rbg"):
@@ -60,6 +70,11 @@ class ModelConfig:
             raise ValueError(
                 f"embedding_grad must be 'auto', 'dense' or 'scatter', got "
                 f"{self.embedding_grad!r}"
+            )
+        if self.embedding_lookup not in ("auto", "gather", "onehot"):
+            raise ValueError(
+                f"embedding_lookup must be 'auto', 'gather' or 'onehot', "
+                f"got {self.embedding_lookup!r}"
             )
 
     @property
@@ -81,8 +96,22 @@ class LossConfig:
     # parallelism the [B, B] logits matmul makes XLA all-gather one side, so
     # the candidate set matches the reference semantics at any mesh size
     # (verified numerically equal to single-device in tests/test_sharding.py).
-    # Use the fused Pallas dot+log-softmax logits kernel (single-device).
-    use_fused_logits: bool = False
+    # Fused Pallas dot+log-softmax CE (single-device AND mesh — the
+    # shard_mapped form keeps global negatives): "auto" (default) resolves
+    # True on a TPU backend with the cross_entropy loss — measured 10.3x
+    # the materializing XLA path at B=8192 and the only runnable form at
+    # global B>=32768 (BENCHMARKS.md) — and False off-TPU, where the
+    # materialized [B, B] keeps the full train-metric surface without
+    # interpret-mode Pallas. Shapes outside the kernel envelope fall back
+    # to XLA inside ops/fused_logits regardless. True/False force it.
+    use_fused_logits: bool | str = "auto"
+
+    def __post_init__(self) -> None:
+        if self.use_fused_logits not in (True, False, "auto"):
+            raise ValueError(
+                "use_fused_logits must be True, False or 'auto', got "
+                f"{self.use_fused_logits!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +223,21 @@ class MeshConfig:
     #                (10M notices x 768-d text f32 ~ 30 GB) train
     #                device-resident instead of at the host-link floor.
     store_sharding: str = "replicated"
+    # Compressed dense-gradient all-reduce with error feedback
+    # (parallel/compressed_grads.py; paper anchor PAPERS.md arxiv
+    # 2407.04272) — for data parallelism whose gradient sync rides a slow
+    # interconnect (multi-host DCN):
+    #   "none" (default) — plain f32 sync via GSPMD (right within a slice:
+    #          ICI is fast and the collective is free to insert).
+    #   "int16" — int8-symmetric quantization on a shared per-tensor scale,
+    #          summed exactly in int16 (<=256 workers); 2 B/elem on the
+    #          wire vs f32's 4, per-worker residual re-injects what the
+    #          quantizer dropped.
+    #   "bf16" — cast-and-psum, 2 B/elem, no shared-scale collective.
+    # Loss semantics switch to LOCAL in-batch negatives per shard (the
+    # reference's per-GPU semantics, two_tower_train_task.py:99-134);
+    # global negatives stay the default GSPMD/fused path.
+    grad_compression: str = "none"
 
     def __post_init__(self) -> None:
         if self.embedding_sharding not in (
@@ -207,6 +251,11 @@ class MeshConfig:
             raise ValueError(
                 "store_sharding must be 'replicated' or 'rows'; "
                 f"got {self.store_sharding!r}"
+            )
+        if self.grad_compression not in ("none", "int16", "bf16"):
+            raise ValueError(
+                "grad_compression must be 'none', 'int16' or 'bf16'; "
+                f"got {self.grad_compression!r}"
             )
 
 

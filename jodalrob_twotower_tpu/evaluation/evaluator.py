@@ -92,6 +92,7 @@ class Evaluator:
         batch_size: int,
         stack: int = 32,
         put_idx=None,
+        store_gather=None,
     ) -> dict[str, float]:
         """evaluate() over DEVICE-RESIDENT stores: only [n, B, 2] indices
         cross the link and whole stacks of batches run in one dispatch
@@ -100,7 +101,9 @@ class Evaluator:
         thousands of batches is insensitive; the host path remains for
         exact small-set eval). ``put_idx`` overrides the index placement
         (mesh runs pass a replicated put so the jit sees consistently
-        placed inputs)."""
+        placed inputs); ``store_gather`` plugs the explicit cross-shard
+        exchange for ROW-SHARDED stores (must be passed consistently
+        across calls — the compiled steps are cached on first use)."""
         from jodalrob_twotower_tpu.train.train_step import (
             make_indexed_eval_steps,
         )
@@ -109,7 +112,9 @@ class Evaluator:
         if n_batches == 0:
             return {}
         if self._indexed_eval is None:
-            self._indexed_eval = make_indexed_eval_steps(self.model, self.cfg)
+            self._indexed_eval = make_indexed_eval_steps(
+                self.model, self.cfg, store_gather=store_gather
+            )
         put = put_idx if put_idx is not None else jax.device_put
         idx = pairs[: n_batches * batch_size].astype(np.int32).reshape(
             n_batches, batch_size, 2
@@ -151,21 +156,24 @@ class Evaluator:
         *,
         side: str = "company",
         chunk: int = 8192,
+        store_gather=None,
     ) -> jax.Array:
         """encode_corpus() over a DEVICE-RESIDENT (dense, cat_ids) store
         tuple: zero feature H2D (the whole-store host path ships 5+ GB at
         10M rows). The store's row count may exceed ``n_rows`` (padding);
-        the returned embeddings are sliced to ``n_rows``."""
+        the returned embeddings are sliced to ``n_rows``. ``store_gather``
+        plugs the explicit cross-shard exchange for ROW-SHARDED stores
+        (parallel/sharded_store.make_tower_batch_gather)."""
         from jodalrob_twotower_tpu.train.train_step import (
             make_device_encode_fn,
         )
 
         store_rows = store[0].shape[0]
         chunk = min(chunk, store_rows)
-        key = (side, chunk)
+        key = (side, chunk, store_gather is not None)
         if key not in self._dev_encoders:
             self._dev_encoders[key] = make_device_encode_fn(
-                self.model, side, chunk
+                self.model, side, chunk, store_gather=store_gather
             )
         encode = self._dev_encoders[key]
         # fixed-size chunks (one compiled program); the final chunk starts

@@ -12,7 +12,14 @@ def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
     'gspmd_rows' -> plain gather, XLA chooses the collectives for the
     row-sharded table; 'shard_map' -> explicit all-to-all exchange."""
     lookup_fn = None
-    if mesh is not None:
+    if mesh is not None and getattr(cfg.mesh, "grad_compression", "none") != "none":
+        # compressed-DP steps are themselves explicit shard_maps
+        # (parallel/compressed_grads.py): everything inside is per-shard
+        # local with replicated tables, so the model must use the PLAIN
+        # lookup — a nested shard_map lookup cannot lower inside the
+        # Manual-axes context
+        mode = None
+    elif mesh is not None:
         from jodalrob_twotower_tpu.parallel.mesh import resolve_embedding_sharding
 
         mode = resolve_embedding_sharding(cfg.mesh, schema)

@@ -77,6 +77,8 @@ class EmbeddingCollection(nn.Module):
     lookup_fn: object | None = None
     # "auto" | "dense" | "scatter" - see config.ModelConfig.embedding_grad
     grad_mode: str = "auto"
+    # "auto" | "gather" | "onehot" - see config.ModelConfig.embedding_lookup
+    lookup_mode: str = "auto"
 
     def setup(self) -> None:
         offsets, total_rows = table_layout(self.vocab_sizes)
@@ -112,6 +114,17 @@ class EmbeddingCollection(nn.Module):
                 )
             else:
                 emb = self.lookup_fn(self.table, rows)
+        elif self._onehot_lookup_active():
+            # forward AND backward as one-hot MXU matmuls (the forward twin
+            # of the dense-grad kernel; ops/embedding_grad.make_onehot_lookup)
+            from jodalrob_twotower_tpu.ops.embedding_grad import make_onehot_lookup
+
+            lookup = make_onehot_lookup(
+                self._total_rows,
+                tuple(tile_feature_map(self.vocab_sizes).tolist()),
+                interpret=jax.default_backend() == "cpu",
+            )
+            emb = lookup(self.table, rows)
         elif self._dense_grad_active():
             from jodalrob_twotower_tpu.ops.embedding_grad import make_dense_grad_lookup
 
@@ -128,6 +141,31 @@ class EmbeddingCollection(nn.Module):
     # loses to the scatter; measured crossover is far above the bid-matching
     # vocabs (33k rows: dense 4.0ms/step vs scatter 8.6ms/step at B=8192).
     DENSE_GRAD_MAX_ROWS = 1 << 16
+
+    def _onehot_lookup_active(self) -> bool:
+        """config.ModelConfig.embedding_lookup resolution. MEASURED on the
+        chip (BENCHMARKS.md round 4): the one-hot MXU forward beats the
+        row-DMA gather in-step — 2.08 vs 2.66 ms/step at the flagship
+        shape (B=8192, K=32, 33k rows), selftest-verified bit-exact — so
+        "auto" resolves to the kernel wherever the dense-grad regime
+        holds: single-device TPU, table within the dense envelope, and a
+        grad mode that keeps the matching one-hot backward. "gather"
+        forces the row-DMA path; "onehot" forces the kernel (interpret on
+        CPU)."""
+        if self.lookup_mode == "gather":
+            return False
+        small = (
+            jax.device_count() == 1
+            and self._total_rows <= self.DENSE_GRAD_MAX_ROWS
+        )
+        if self.lookup_mode == "onehot":
+            return small
+        return (
+            small
+            and jax.default_backend() not in ("cpu",)
+            and self.grad_mode != "scatter"
+            and self.embed_dim % 8 == 0
+        )
 
     def _dense_grad_active(self) -> bool:
         if self.grad_mode == "dense":

@@ -84,6 +84,7 @@ class Tower(nn.Module):
                 use_pallas=self.use_pallas_lookup,
                 lookup_fn=self.lookup_fn,
                 grad_mode=cfg.embedding_grad,
+                lookup_mode=getattr(cfg, "embedding_lookup", "auto"),
                 name="embeddings",
             )(batch.cat_ids)
             parts.append(emb.astype(compute_dtype))

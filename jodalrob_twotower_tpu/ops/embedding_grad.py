@@ -199,6 +199,157 @@ def dense_table_grad_t(
 
 
 # ---------------------------------------------------------------------------
+# forward twin: one-hot MXU lookup (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+#
+# The forward gather is the step's largest per-op line (0.45 ms/step at
+# B=8192, K=32 — 262k random row-DMAs, row-COUNT-bound at ~2.7 ns/row,
+# BENCHMARKS.md). For small vocabs the lookup is the exact forward twin of
+# the grad kernel's math:
+#
+#     emb_k[b, :] = Σ_v 1[ids_k(b) = v] · T_k[v, :]   =   onehot @ T_k
+#
+# i.e. ~17 GFLOP of bf16 MXU work at the flagship shape vs 0.45 ms of
+# serial row DMA. Same transposed orientation as dense_table_grad_t: the
+# batch dim rides the MXU's N axis (full 128 result lanes), D=32 streams
+# as M. Output is [K, D, B] bf16 (bf16 accumulation across a feature's
+# tiles is EXACT: each output column receives its value from exactly one
+# tile, all other tiles contribute true zeros).
+
+
+def _lookup_kernel(chunk: int):
+    """One program = one 128-row table tile; accumulates its contribution
+    into the owning feature's [1, D, B] output block (revisited across the
+    feature's consecutive tiles; zeroed at the feature's first tile)."""
+
+    def kernel(tile_feature_ref, tile_row_ref, rows_ref, tt_ref, out_ref):
+        t = pl.program_id(0)
+        feature = tile_feature_ref[t]
+        row0 = tile_row_ref[t]
+        b = rows_ref.shape[1]
+        d = tt_ref.shape[0]
+        first = jnp.logical_or(
+            t == 0, feature != tile_feature_ref[jnp.maximum(t - 1, 0)]
+        )
+
+        @pl.when(first)
+        def _zero():
+            out_ref[0, :, :] = jnp.zeros((d, b), out_ref.dtype)
+
+        tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
+        tt = tt_ref[:, :].astype(jnp.bfloat16)  # [D, 128]
+        n_chunks = b // chunk
+
+        def body(i, _):
+            lo = i * chunk
+            ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, chunk)]  # [1, C]
+            onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
+            contrib = jax.lax.dot_general(
+                tt,
+                onehot_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)  # [D, C]
+            out_ref[0, :, pl.ds(lo, chunk)] += contrib
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_lookup_kernel(chunk: int):
+    return _lookup_kernel(chunk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("total_rows", "tile_feature", "interpret")
+)
+def dense_table_lookup_t(
+    table: jax.Array,
+    rows: jax.Array,
+    *,
+    total_rows: int,
+    tile_feature: tuple[int, ...],
+    interpret: bool = False,
+) -> jax.Array:
+    """One-hot MXU lookup: (table [R, D], rows [B, K] global row ids) ->
+    embeddings in TRANSPOSED layout [K, D, B] bf16 (transpose or consume
+    K-major outside). ``tile_feature`` as in :func:`dense_table_grad`."""
+    b, k = rows.shape
+    d = table.shape[1]
+    assert total_rows % TILE_ROWS == 0
+    n_tiles = total_rows // TILE_ROWS
+    assert len(tile_feature) == n_tiles
+
+    chunk = _batch_chunk(b)
+    pad = (-b) % chunk
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad, k), -1, jnp.int32)])
+    b_pad = rows.shape[0]
+
+    rows_t = rows.astype(jnp.int32).T  # [K, B]
+    tt = table.astype(jnp.bfloat16).T  # [D, R] — a ~2 MB relayout, tiny
+    tf = jnp.asarray(np.asarray(tile_feature, np.int32))
+    tr = jnp.asarray(np.arange(n_tiles, dtype=np.int32) * TILE_ROWS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, b_pad), lambda t, tf, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TILE_ROWS), lambda t, tf, tr: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, b_pad), lambda t, tf, tr: (tf[t], 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _get_lookup_kernel(chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, d, b_pad), jnp.bfloat16),
+        interpret=interpret,
+    )(tf, tr, rows_t, tt)
+    return out[:, :, :b]
+
+
+def make_onehot_lookup(
+    total_rows: int, tile_feature: tuple[int, ...], *, interpret: bool = False
+):
+    """Lookup (table [R, D], rows [B, K]) -> [B, K, D] bf16 whose FORWARD is
+    the one-hot MXU kernel (vs the row-DMA gather) and whose backward is the
+    dense-vocab grad kernel — both ends of the embedding ride the MXU.
+    Clamp semantics live in the caller's row mapping (cat_embed.py:115-117
+    parity, models/embedding.absolute_rows)."""
+
+    @jax.custom_vjp
+    def lookup(table, rows):
+        emb_t = dense_table_lookup_t(
+            table, rows, total_rows=total_rows, tile_feature=tile_feature,
+            interpret=interpret,
+        )  # [K, D, B]
+        return jnp.transpose(emb_t, (2, 0, 1))  # [B, K, D]
+
+    def fwd(table, rows):
+        # the forward emits bf16 regardless of the table dtype, so the
+        # cotangent dtype no longer tells us the grad dtype — carry a
+        # dtype-prototype scalar in the residuals
+        return lookup(table, rows), (rows, jnp.zeros((), table.dtype))
+
+    def bwd(res, ct):
+        rows, proto = res
+        dtable = dense_table_grad_t(
+            rows, ct, total_rows=total_rows, tile_feature=tile_feature,
+            interpret=interpret,
+        ).T
+        return dtable.astype(proto.dtype), None
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+# ---------------------------------------------------------------------------
 # differentiable lookup with the dense-grad backward
 # ---------------------------------------------------------------------------
 

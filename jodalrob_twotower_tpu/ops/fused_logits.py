@@ -1023,6 +1023,11 @@ def fused_in_batch_metrics(
         "negative_similarity": jnp.mean(neg_mean),
     }
     metrics["similarity_gap"] = metrics["positive_similarity"] - metrics["negative_similarity"]
+    # Z-gap parity with train.metrics.in_batch_metrics (reference
+    # scripts/train.py:347-351)
+    metrics["z_gap"] = metrics["similarity_gap"] / (
+        jnp.abs(metrics["negative_similarity"]) + 1e-8
+    )
     for k in recall_ks:
         metrics[f"recall@{k}"] = jnp.mean((ranks < k).astype(jnp.float32))
     return metrics

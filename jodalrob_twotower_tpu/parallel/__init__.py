@@ -14,5 +14,6 @@ from jodalrob_twotower_tpu.parallel.sharded_store import (  # noqa: F401
 )
 from jodalrob_twotower_tpu.parallel.compressed_grads import (  # noqa: F401
     compressed_psum_tree,
+    make_dp_compressed_indexed_train,
     make_dp_compressed_train_step,
 )

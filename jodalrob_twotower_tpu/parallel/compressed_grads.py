@@ -39,6 +39,9 @@ canonical GSPMD/fused one (parallel/sharded_train.py).
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -48,6 +51,18 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS
 
 _METHODS = ("none", "int16", "bf16")
+
+
+def _check_method(method: str, n_shards: int) -> None:
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
+    if method == "int16" and n_shards > 256:
+        # the int16-psum exactness precondition: n x 127 <= 32767. Beyond
+        # it the reduction would WRAP silently and corrupt every gradient.
+        raise ValueError(
+            f"method='int16' is exact only up to 256 workers (int16 sum of "
+            f"int8 quanta); the {DATA_AXIS!r} axis has {n_shards} — use 'bf16'"
+        )
 
 
 def compressed_psum_leaf(g: jax.Array, err: jax.Array, axis_name: str,
@@ -115,21 +130,13 @@ def make_dp_compressed_train_step(
         create_train_state,
     )
 
-    if method not in _METHODS:
-        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
     axis = DATA_AXIS
     n_shards = mesh.shape[axis]
+    _check_method(method, n_shards)
     if example_batch.batch_size % n_shards:
         raise ValueError(
             f"the {axis!r} axis ({n_shards}) must divide batch_size "
             f"{example_batch.batch_size}"
-        )
-    if method == "int16" and n_shards > 256:
-        # the int16-psum exactness precondition: n x 127 <= 32767. Beyond
-        # it the reduction would WRAP silently and corrupt every gradient.
-        raise ValueError(
-            f"method='int16' is exact only up to 256 workers (int16 sum of "
-            f"int8 quanta); the {axis!r} axis has {n_shards} — use 'bf16'"
         )
 
     state, _ = create_train_state(
@@ -209,3 +216,232 @@ def make_dp_compressed_train_step(
         return jax.tree.map(lambda x: jax.device_put(x, b_shard), batch)
 
     return state, err_state, step, put_batch
+
+
+# ---------------------------------------------------------------------------
+# production surface: indexed / scanned / sampled compressed-DP training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CompressedDPTrain:
+    """Everything the Trainer needs to drive compressed-DP training over
+    device-resident feature stores (MeshConfig.grad_compression).
+
+    ``scan_steps(state, err, idx_stack [n, B, 2], n_store, c_store)``
+      -> (state, err, {"loss": [n]})
+    ``single_step(state, err, idx [B, 2], n_store, c_store)``
+      -> (state, err, metrics incl. per-shard in-batch metrics pmean'd)
+    ``make_sampled(k)`` -> steps(state, err, key, pairs_dev, n_store,
+      c_store) — k on-device-sampled steps per dispatch; each shard draws
+      its LOCAL batch rows from a key folded with (global step, shard
+      index), so the host ships one PRNG key per dispatch.
+    ``err_state`` is the per-worker quantization residual tree (leading
+    [n_shards] dim, sharded); it is NOT checkpointed — on resume it
+    restarts at zero, which error feedback tolerates by construction (the
+    residual only carries sub-granularity remainders of past steps).
+    """
+
+    state: object
+    err_state: object
+    tx: object
+    scan_steps: Callable
+    single_step: Callable
+    put_idx: Callable
+    put_store: Callable
+    make_sampled: Callable
+
+
+def make_dp_compressed_indexed_train(
+    model,
+    cfg,
+    mesh,
+    example_batch,
+    total_steps: int,
+    *,
+    n_inner: int = 8,
+    method: str = "int16",
+) -> CompressedDPTrain:
+    """Compressed-DP over DEVICE-RESIDENT stores — the Trainer production
+    path for ``MeshConfig.grad_compression`` (multi-host DCN training).
+
+    Same wire/error-feedback machinery as
+    :func:`make_dp_compressed_train_step`, lifted to the indexed hot path:
+    stores replicated in HBM, only [.., B, 2] indices (or one PRNG key) per
+    dispatch, ``n_inner`` steps scanned per dispatch. Loss semantics are
+    LOCAL in-batch negatives per shard (the reference's per-GPU semantics,
+    two_tower_train_task.py:99-134 — see module docstring; the
+    GSPMD/fused path keeps global negatives when compression is off).
+    """
+    from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
+    from jodalrob_twotower_tpu.train.train_step import (
+        TrainState,
+        _forward_loss,
+        create_train_state,
+    )
+    from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
+
+    axis = DATA_AXIS
+    n_shards = mesh.shape[axis]
+    _check_method(method, n_shards)
+    b = example_batch.batch_size
+    if b % max(n_shards, 1):
+        raise ValueError(
+            f"the {axis!r} axis ({n_shards}) must divide batch_size {b}"
+        )
+
+    state, tx = create_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
+    )
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(state, jax.tree.map(lambda _: rep, state))
+    err_sh = NamedSharding(mesh, P(axis))
+    err_state = jax.tree.map(
+        lambda p: jax.device_put(
+            jnp.zeros((n_shards, *p.shape), jnp.float32), err_sh
+        ),
+        state.params,
+    )
+
+    def gather(store, rows):
+        dense, cat = store
+        return TowerBatch(
+            dense=jnp.take(dense, rows, axis=0),
+            cat_ids=jnp.take(cat, rows, axis=0),
+        )
+
+    def local_step(state, err, idx, n_store, c_store, with_metrics):
+        """One step on this shard's [B/n, 2] slice; err WITHOUT device dim."""
+        batch = PairBatch(
+            notice=gather(n_store, idx[:, 0]),
+            company=gather(c_store, idx[:, 1]),
+        )
+        # fold the worker index in too — without it every shard would draw
+        # the SAME dropout mask for its local batch (see local-step note in
+        # make_dp_compressed_train_step)
+        dropout_rng = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step),
+            jax.lax.axis_index(axis),
+        )
+
+        def loss_fn(params):
+            return _forward_loss(
+                model, cfg, params, state.batch_stats, batch, dropout_rng,
+                train=True,
+            )
+
+        (loss, (sim, _, _, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        synced, new_err = compressed_psum_tree(grads, err, axis, method)
+        synced = jax.tree.map(lambda g: g / n_shards, synced)
+        updates, new_opt_state = tx.update(synced, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if new_batch_stats:
+            new_batch_stats = jax.tree.map(
+                lambda s: jax.lax.pmean(s, axis), new_batch_stats
+            )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=state.rng,
+        )
+        metrics = {"loss": jax.lax.pmean(loss, axis)}
+        if with_metrics and sim is not None:
+            # per-shard in-batch metrics over the local [B/n, B/n] block,
+            # averaged across shards — the reference's per-GPU metric
+            # semantics at its own batch size
+            metrics.update(
+                {k: jax.lax.pmean(v, axis)
+                 for k, v in in_batch_metrics(sim).items()}
+            )
+        return new_state, new_err, metrics
+
+    state_specs = jax.tree.map(lambda _: P(), state)
+    err_specs = jax.tree.map(lambda _: P(axis), err_state)
+    store_spec = (P(), P())
+
+    def _wrap(fn, idx_spec, extra_specs=(), metric_spec=P()):
+        """jit(shard_map(...)) with the shared state/err/store plumbing."""
+        return jax.jit(
+            shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(state_specs, err_specs, idx_spec, *extra_specs,
+                          store_spec, store_spec),
+                out_specs=(state_specs, err_specs, metric_spec),
+                # replication of P() outputs holds by construction: every
+                # worker applies the identical psum'd gradient
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def local_scan(state, err, idx_stack, n_store, c_store):
+        err = jax.tree.map(lambda e: e[0], err)
+
+        def body(carry, idx):
+            st, er = carry
+            st, er, metrics = local_step(st, er, idx, n_store, c_store, False)
+            return (st, er), metrics["loss"]
+
+        (state, err), losses = jax.lax.scan(body, (state, err), idx_stack)
+        return state, jax.tree.map(lambda e: e[None], err), {"loss": losses}
+
+    def local_single(state, err, idx, n_store, c_store):
+        err = jax.tree.map(lambda e: e[0], err)
+        state, err, metrics = local_step(state, err, idx, n_store, c_store, True)
+        return state, jax.tree.map(lambda e: e[None], err), metrics
+
+    scan_steps = _wrap(local_scan, P(None, axis, None))
+    single_step = _wrap(local_single, P(axis, None))
+
+    local_b = b // max(n_shards, 1)
+
+    def make_sampled(k: int):
+        def local_sampled(state, err, sample_key, pairs_dev, n_store, c_store):
+            err = jax.tree.map(lambda e: e[0], err)
+            n_pairs = pairs_dev.shape[0]
+            shard = jax.lax.axis_index(axis)
+
+            def body(carry, _):
+                st, er = carry
+                key = jax.random.fold_in(
+                    jax.random.fold_in(sample_key, st.step), shard
+                )
+                rows = jax.random.randint(key, (local_b,), 0, n_pairs)
+                idx = jnp.take(pairs_dev, rows, axis=0)
+                st, er, metrics = local_step(st, er, idx, n_store, c_store, False)
+                return (st, er), metrics["loss"]
+
+            (state, err), losses = jax.lax.scan(
+                body, (state, err), None, length=k
+            )
+            return state, jax.tree.map(lambda e: e[None], err), {"loss": losses}
+
+        return _wrap(local_sampled, P(), extra_specs=(P(),))
+
+    idx_sharding = NamedSharding(mesh, P(axis, None))
+    stack_sharding = NamedSharding(mesh, P(None, axis, None))
+
+    def put_idx(idx):
+        sh = stack_sharding if idx.ndim == 3 else idx_sharding
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, idx)
+        return jax.device_put(idx, sh)
+
+    def put_store(store):
+        return jax.tree.map(lambda x: jax.device_put(x, rep), store)
+
+    return CompressedDPTrain(
+        state=state,
+        err_state=err_state,
+        tx=tx,
+        scan_steps=scan_steps,
+        single_step=single_step,
+        put_idx=put_idx,
+        put_store=put_store,
+        make_sampled=make_sampled,
+    )

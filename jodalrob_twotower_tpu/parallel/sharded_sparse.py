@@ -163,3 +163,57 @@ def make_sharded_sparse_train(
         donate_argnums=(0,),
     )
     return state, train_step, put_batch, put_store, scan_steps
+
+
+def make_sharded_sampled_sparse(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    mesh,
+    state: SparseTrainState,
+    n_inner: int,
+    batch_size: int,
+    total_steps: int,
+):
+    """ON-DEVICE batch sampling for MESH sparse training — the 10M-vocab
+    configuration (BASELINE config 3) no longer stays host-fed: the
+    replicated pair set lives in HBM, each inner step draws its GLOBAL
+    batch from a key folded with the global step (identical draw semantics
+    to train_step.sampled_scan_fn, so runs are replayable and resume-exact)
+    and the sparse O(batch) step runs with the same row-sharded-table /
+    store-sharding layout as the host-fed mesh step. One PRNG key per
+    dispatch crosses the link — immune to the measured tunnel-congestion
+    exposure of host-fed index stacks (BENCHMARKS.md).
+
+    ``state`` must come from :func:`make_sharded_sparse_train` (its
+    shardings are reused verbatim). Returns (steps, put_pairs):
+    ``steps(state, key, pairs_dev [P, 2], n_store, c_store)``
+    -> (state, {"loss": [n_inner]}).
+    """
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        resolve_store_placement,
+    )
+    from jodalrob_twotower_tpu.train.optimizer import build_optimizer
+    from jodalrob_twotower_tpu.train.train_step import sampled_scan_fn
+
+    # build_optimizer is a pure function of the config: this tx is
+    # structurally identical to the one create_sparse_train_state built for
+    # ``state`` (train/sparse_tables.py:116-118)
+    tx = build_optimizer(cfg.optimizer, total_steps)
+    shardings = jax.tree.map(lambda x: x.sharding, state)
+    rep = replicated(mesh)
+    store_gather, store_shardings, _ = resolve_store_placement(cfg, mesh)
+    inner = make_sparse_train_step(
+        model, cfg, tx, total_steps, jit=False, with_metrics=False,
+        mesh=mesh, store_gather=store_gather,
+    )
+    steps = jax.jit(
+        sampled_scan_fn(inner, n_inner, batch_size),
+        in_shardings=(shardings, None, rep, store_shardings, store_shardings),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+
+    def put_pairs(pairs):
+        return jax.device_put(pairs, rep)
+
+    return steps, put_pairs

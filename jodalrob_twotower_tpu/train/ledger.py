@@ -33,6 +33,7 @@ FIELDS = [
     "positive_similarity",
     "negative_similarity",
     "similarity_gap",
+    "z_gap",
     "examples_per_sec",
     "notes",
 ]
@@ -51,6 +52,9 @@ _METRIC_TO_FIELD = {
     "positive_similarity": "positive_similarity",
     "negative_similarity": "negative_similarity",
     "similarity_gap": "similarity_gap",
+    # the reference displayed z_gap on every progress line but never
+    # persisted it (scripts/train.py:347-351); the ledger keeps it
+    "z_gap": "z_gap",
 }
 
 

@@ -20,6 +20,27 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_use_fused(loss_cfg) -> bool:
+    """Resolve ``LossConfig.use_fused_logits`` ("auto" | bool) to a bool.
+
+    "auto" turns the fused Pallas CE on exactly where it is the right
+    default: a TPU backend and the cross_entropy loss (measured 10.3x the
+    materializing XLA path at B=8192, and the only runnable form at global
+    B>=32768 — BENCHMARKS.md). Off-TPU it resolves False so CPU dev/test
+    runs keep the materialized similarity matrix (full per-step metric
+    surface, no interpret-mode Pallas). Shapes outside the kernel envelope
+    fall back to XLA inside ops/fused_logits either way
+    (ops/fused_logits._supported / _kernel_ok).
+    """
+    v = loss_cfg.use_fused_logits
+    if v == "auto":
+        return (
+            jax.default_backend() == "tpu"
+            and loss_cfg.loss_type == "cross_entropy"
+        )
+    return bool(v)
+
+
 def _smoothed_ce(logits: jax.Array, label_smoothing: float) -> jax.Array:
     """Mean CE with diagonal labels over rows of ``logits`` [B, B]."""
     b = logits.shape[0]

@@ -40,6 +40,12 @@ def in_batch_metrics(sim: jax.Array, recall_ks: tuple[int, ...] = (5, 10)) -> di
         "negative_similarity": jnp.mean(neg_mean),
     }
     metrics["similarity_gap"] = metrics["positive_similarity"] - metrics["negative_similarity"]
+    # Z-gap: the reference's normalized separation indicator displayed on
+    # every train/val progress line — sim_gap / max(|neg_sim| + 1e-8, 1e-8)
+    # (reference scripts/train.py:347-351, :409-413)
+    metrics["z_gap"] = metrics["similarity_gap"] / (
+        jnp.abs(metrics["negative_similarity"]) + 1e-8
+    )
     for k in recall_ks:
         metrics[f"recall@{k}"] = jnp.mean((ranks < k).astype(jnp.float32))
     return metrics

@@ -45,7 +45,7 @@ from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
 from jodalrob_twotower_tpu.models.embedding import absolute_rows, table_layout
 from jodalrob_twotower_tpu.train.train_step import dropout_key
 from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
-from jodalrob_twotower_tpu.train.loss import compute_loss
+from jodalrob_twotower_tpu.train.loss import compute_loss, resolve_use_fused
 from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
 from jodalrob_twotower_tpu.train.optimizer import warmup_constant_schedule
 
@@ -325,7 +325,7 @@ def make_sparse_train_step(
                     temperature=cfg.loss.temperature,
                     label_smoothing=cfg.loss.label_smoothing,
                     margin=cfg.loss.cosine_margin,
-                    use_fused=cfg.loss.use_fused_logits,
+                    use_fused=resolve_use_fused(cfg.loss),
                     # tower outputs are L2-normalized (models/tower.py)
                     normalized_inputs=True,
                 )

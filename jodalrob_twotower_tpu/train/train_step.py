@@ -21,7 +21,7 @@ import optax
 from jodalrob_twotower_tpu.config import TrainConfig
 from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
 from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
-from jodalrob_twotower_tpu.train.loss import compute_loss
+from jodalrob_twotower_tpu.train.loss import compute_loss, resolve_use_fused
 from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
 from jodalrob_twotower_tpu.train.optimizer import build_optimizer
 
@@ -95,7 +95,7 @@ def make_sharded_ce(cfg: TrainConfig, mesh):
     in-batch negatives at any mesh size (ops/fused_logits.py)."""
     if (
         mesh is None
-        or not cfg.loss.use_fused_logits
+        or not resolve_use_fused(cfg.loss)
         or cfg.loss.loss_type != "cross_entropy"
     ):
         return None
@@ -154,7 +154,7 @@ def _forward_loss(
             temperature=cfg.loss.temperature,
             label_smoothing=cfg.loss.label_smoothing,
             margin=cfg.loss.cosine_margin,
-            use_fused=cfg.loss.use_fused_logits,
+            use_fused=resolve_use_fused(cfg.loss),
             # tower outputs are L2-normalized by construction
             # (models/tower.py), proving |logits| <= 1/temperature for the
             # fused lean kernel
@@ -446,6 +446,7 @@ def make_indexed_eval_steps(
     cfg: TrainConfig,
     *,
     jit: bool = True,
+    store_gather=None,
 ):
     """Eval over DEVICE-RESIDENT stores, many batches per dispatch.
 
@@ -459,23 +460,28 @@ def make_indexed_eval_steps(
     bottleneck the indexed steps were built to kill, and the same cost
     paid again every validation epoch); here the wire carries only the
     [n, B, 2] indices and [n]-sized metric vectors.
+
+    ``store_gather(store, rows [B]) -> TowerBatch`` overrides the plain
+    ``jnp.take`` — ROW-SHARDED stores pass the explicit cross-shard
+    exchange (parallel/sharded_store.make_tower_batch_gather), keeping
+    device-resident eval for exactly the stores too big to replicate.
     """
     eval_core = make_eval_step(model, cfg, jit=False)
 
-    def steps_fn(state: TrainState, idx_stack, notice_store, company_store):
-        n_dense, n_cat = notice_store
-        c_dense, c_cat = company_store
+    def default_gather(store, rows):
+        dense, cat = store
+        return TowerBatch(
+            dense=jnp.take(dense, rows, axis=0),
+            cat_ids=jnp.take(cat, rows, axis=0),
+        )
 
+    gather = store_gather if store_gather is not None else default_gather
+
+    def steps_fn(state: TrainState, idx_stack, notice_store, company_store):
         def body(carry, pair_idx):
             batch = PairBatch(
-                notice=TowerBatch(
-                    dense=jnp.take(n_dense, pair_idx[:, 0], axis=0),
-                    cat_ids=jnp.take(n_cat, pair_idx[:, 0], axis=0),
-                ),
-                company=TowerBatch(
-                    dense=jnp.take(c_dense, pair_idx[:, 1], axis=0),
-                    cat_ids=jnp.take(c_cat, pair_idx[:, 1], axis=0),
-                ),
+                notice=gather(notice_store, pair_idx[:, 0]),
+                company=gather(company_store, pair_idx[:, 1]),
             )
             return carry, eval_core(state, batch)
 
@@ -491,6 +497,7 @@ def make_device_encode_fn(
     chunk: int,
     *,
     jit: bool = True,
+    store_gather=None,
 ):
     """Chunked single-side encoder over a DEVICE-RESIDENT store.
 
@@ -498,14 +505,25 @@ def make_device_encode_fn(
     ``[start, start+chunk)`` (dynamic slice — one compiled program serves
     every chunk). The corpus-encode path previously shipped the whole
     store's features from host per eval (5+ GB at 10M rows); with the
-    training stores already in HBM this costs zero H2D."""
+    training stores already in HBM this costs zero H2D.
+
+    ``store_gather(store, rows) -> TowerBatch`` overrides the dynamic
+    slice for ROW-SHARDED stores: the chunk's contiguous row ids go
+    through the explicit cross-shard exchange, so corpus encoding stays
+    device-resident for stores too big to replicate (requires
+    ``chunk`` divisible by the mesh's data axis — the caller's chunk
+    sizes are powers of two)."""
 
     def encode(state: TrainState, store, start):
-        dense, cat = store
-        tb = TowerBatch(
-            dense=jax.lax.dynamic_slice_in_dim(dense, start, chunk, axis=0),
-            cat_ids=jax.lax.dynamic_slice_in_dim(cat, start, chunk, axis=0),
-        )
+        if store_gather is not None:
+            rows = start + jnp.arange(chunk, dtype=jnp.int32)
+            tb = store_gather(store, rows)
+        else:
+            dense, cat = store
+            tb = TowerBatch(
+                dense=jax.lax.dynamic_slice_in_dim(dense, start, chunk, axis=0),
+                cat_ids=jax.lax.dynamic_slice_in_dim(cat, start, chunk, axis=0),
+            )
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

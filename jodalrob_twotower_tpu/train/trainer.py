@@ -118,7 +118,51 @@ class Trainer:
         n_inner = max(min(n_inner, steps_per_epoch), 1)
         put_idx = jax.device_put
         put_store = None
-        if self.mesh is not None:
+        compressed = None  # CompressedDPTrain when grad_compression is on
+        if self.mesh is not None and cfg.mesh.grad_compression != "none":
+            # explicit-DP step with compressed gradient sync + error
+            # feedback (multi-host DCN; parallel/compressed_grads.py).
+            # Loss semantics: LOCAL in-batch negatives per shard — the
+            # reference's per-GPU semantics (two_tower_train_task.py:99-134)
+            if cfg.sparse_tables:
+                raise ValueError(
+                    "grad_compression applies to the dense-DP step; sparse "
+                    "tables update O(batch) rows without a dense-grad "
+                    "all-reduce to compress — use grad_compression='none'"
+                )
+            if cfg.mesh.store_sharding != "replicated":
+                raise ValueError(
+                    "grad_compression requires store_sharding='replicated' "
+                    "(its explicit shard_map step feeds each shard the full "
+                    "stores)"
+                )
+            from jodalrob_twotower_tpu.parallel.compressed_grads import (
+                make_dp_compressed_indexed_train,
+            )
+
+            compressed = make_dp_compressed_indexed_train(
+                self.model, cfg, self.mesh, example, total_steps,
+                n_inner=n_inner, method=cfg.mesh.grad_compression,
+            )
+            state, tx = compressed.state, compressed.tx
+            put_idx, put_store = compressed.put_idx, compressed.put_store
+            # the per-worker error-feedback residuals thread through every
+            # dispatch; the Trainer's step interface stays (state, metrics)
+            err_cell = [compressed.err_state]
+
+            def scan_steps(st, stack, ns, cs):
+                st, err_cell[0], m = compressed.scan_steps(
+                    st, err_cell[0], stack, ns, cs
+                )
+                return st, m
+
+            def single_step(st, idx, ns, cs):
+                st, err_cell[0], m = compressed.single_step(
+                    st, err_cell[0], idx, ns, cs
+                )
+                return st, m
+
+        elif self.mesh is not None:
             # multi-chip: tables row-sharded, batch dim sharded, stores
             # replicated; global in-batch negatives preserved
             if cfg.sparse_tables:
@@ -186,28 +230,63 @@ class Trainer:
                     "sample_on_device needs the whole pair set device-resident; "
                     "it is incompatible with streaming batch sources"
                 )
-            if cfg.sparse_tables:
-                if self.mesh is not None:
-                    raise NotImplementedError(
-                        "sample_on_device with sparse tables is single-device "
-                        "today; mesh sparse runs stay host-fed"
-                    )
+            if compressed is not None:
+                from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+                rep = replicated(self.mesh)
+                put_pairs = lambda p: jax.device_put(p, rep)  # noqa: E731
+
+                def sampled_fn(k: int) -> Callable:
+                    if k not in sampled_steps:
+                        inner = compressed.make_sampled(k)
+
+                        def run(st, key, pairs, ns, cs, _inner=inner):
+                            st, err_cell[0], m = _inner(
+                                st, err_cell[0], key, pairs, ns, cs
+                            )
+                            return st, m
+
+                        sampled_steps[k] = run
+                    return sampled_steps[k]
+
+            elif cfg.sparse_tables:
                 if cfg.sparse_defer_updates:
                     raise NotImplementedError(
                         "sample_on_device does not combine with "
                         "sparse_defer_updates (per-step updates are the "
                         "sampled default — train/sparse_tables.py)"
                     )
-                from jodalrob_twotower_tpu.train.sparse_tables import (
-                    make_sampled_sparse_steps,
-                )
+                if self.mesh is not None:
+                    # mesh sparse sampled: global batch drawn on-mesh, same
+                    # row-sharded-table/store layout as the host-fed step
+                    # (parallel/sharded_sparse.make_sharded_sampled_sparse)
+                    from jodalrob_twotower_tpu.parallel.mesh import replicated
+                    from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+                        make_sharded_sampled_sparse,
+                    )
 
-                def sampled_fn(k: int) -> Callable:
-                    if k not in sampled_steps:
-                        sampled_steps[k] = make_sampled_sparse_steps(
-                            self.model, cfg, tx, total_steps, k, b
-                        )
-                    return sampled_steps[k]
+                    rep = replicated(self.mesh)
+                    put_pairs = lambda p: jax.device_put(p, rep)  # noqa: E731
+
+                    def sampled_fn(k: int) -> Callable:
+                        if k not in sampled_steps:
+                            sampled_steps[k], _ = make_sharded_sampled_sparse(
+                                self.model, cfg, self.mesh, state, k, b,
+                                total_steps,
+                            )
+                        return sampled_steps[k]
+
+                else:
+                    from jodalrob_twotower_tpu.train.sparse_tables import (
+                        make_sampled_sparse_steps,
+                    )
+
+                    def sampled_fn(k: int) -> Callable:
+                        if k not in sampled_steps:
+                            sampled_steps[k] = make_sampled_sparse_steps(
+                                self.model, cfg, tx, total_steps, k, b
+                            )
+                        return sampled_steps[k]
 
             elif self.mesh is not None:
                 from jodalrob_twotower_tpu.parallel.mesh import replicated
@@ -307,22 +386,35 @@ class Trainer:
         # reuse the training stores for validation and corpus encoding
         # (device-resident eval: indices-only H2D instead of re-shipping
         # features every epoch — evaluator.evaluate_indexed /
-        # encode_corpus_device). Mesh runs with REPLICATED stores qualify
-        # too (idx placed replicated so the jit's inputs are consistently
-        # meshed); row-sharded stores and multi-process runs keep the host
-        # path (a plain jnp.take from a rows-sharded store could tempt the
-        # partitioner into all-gathering the very store that was too big to
-        # replicate).
-        self._dev_stores = None
+        # encode_corpus_device). EVERY mode qualifies: mesh runs place idx
+        # replicated so the jit's inputs are consistently meshed;
+        # row-sharded stores route batch assembly through the explicit
+        # cross-shard exchange (a plain jnp.take could tempt the
+        # partitioner into all-gathering the very store that was too big
+        # to replicate); multi-process runs assemble the replicated idx
+        # from process-local copies.
+        self._dev_stores = (n_store, c_store)
         self._eval_put_idx = None
-        if self.mesh is None:
-            self._dev_stores = (n_store, c_store)
-        elif cfg.mesh.store_sharding != "rows" and jax.process_count() == 1:
+        self._eval_store_gather = None
+        if self.mesh is not None:
             from jodalrob_twotower_tpu.parallel.mesh import replicated
 
             rep_eval = replicated(self.mesh)
-            self._dev_stores = (n_store, c_store)
-            self._eval_put_idx = lambda x: jax.device_put(x, rep_eval)
+
+            def _eval_put(x):
+                if jax.process_count() > 1:
+                    # every process holds the same full idx array (same
+                    # pairs + seed); declare it replicated
+                    return jax.make_array_from_process_local_data(rep_eval, x)
+                return jax.device_put(x, rep_eval)
+
+            self._eval_put_idx = _eval_put
+            if cfg.mesh.store_sharding == "rows":
+                from jodalrob_twotower_tpu.parallel.sharded_store import (
+                    make_tower_batch_gather,
+                )
+
+                self._eval_store_gather = make_tower_batch_gather(self.mesh)
 
         # multi-host (multi-process mesh): cfg.data.batch_size is the GLOBAL
         # batch. In-memory epochs are generated identically on every process
@@ -450,7 +542,8 @@ class Trainer:
             self.log(
                 f"epoch {epoch}: train_loss {train_loss:.4f} val_loss {val.get('loss', float('nan')):.4f} "
                 f"acc {val.get('accuracy', 0):.4f} mrr {val.get('mrr', 0):.4f} "
-                f"gap {val.get('similarity_gap', 0):.4f} ({examples_per_sec:,.0f} ex/s)"
+                f"gap {val.get('similarity_gap', 0):.4f} z-gap {val.get('z_gap', 0):.2f} "
+                f"({examples_per_sec:,.0f} ex/s)"
             )
             if ckpt is not None:
                 ckpt.save_epoch(state, epoch, metric=val.get("loss"))
@@ -556,15 +649,40 @@ class Trainer:
     def prepare_device_eval(self) -> None:
         """Place both feature stores in HBM so validate()/corpus_eval() run
         device-resident (indices-only H2D) without a prior train() —
-        standalone-eval entry point. Single-device only (train() manages
-        mesh placements itself)."""
-        if self.mesh is not None:
-            raise NotImplementedError("device-resident eval is single-device")
+        standalone-eval entry point. Mesh-aware: stores are placed per
+        ``cfg.mesh.store_sharding`` (replicated, or row-sharded with batch
+        assembly through the explicit cross-shard exchange)."""
         store_dt = self._device_store_dtype()
-        self._dev_stores = (
-            device_store(self.notice_store, dtype=store_dt),
-            device_store(self.company_store, dtype=store_dt),
+        self._eval_put_idx = None
+        self._eval_store_gather = None
+        if self.mesh is None:
+            self._dev_stores = (
+                device_store(self.notice_store, dtype=store_dt),
+                device_store(self.company_store, dtype=store_dt),
+            )
+            return
+        from jodalrob_twotower_tpu.parallel.mesh import replicated
+        from jodalrob_twotower_tpu.parallel.sharded_store import (
+            make_tower_batch_gather,
+            resolve_store_placement,
         )
+
+        _, _, put_store = resolve_store_placement(self.cfg, self.mesh)
+
+        def _host(fs):
+            dense = np.asarray(fs.dense)
+            if store_dt is not None:
+                dense = dense.astype(store_dt)
+            return (dense, np.asarray(fs.cat_ids))
+
+        self._dev_stores = (
+            put_store(_host(self.notice_store)),
+            put_store(_host(self.company_store)),
+        )
+        rep = replicated(self.mesh)
+        self._eval_put_idx = lambda x: jax.device_put(x, rep)
+        if self.cfg.mesh.store_sharding == "rows":
+            self._eval_store_gather = make_tower_batch_gather(self.mesh)
 
     def _device_store_dtype(self):
         """Resolved dtype for the device-resident dense feature blocks."""
@@ -623,6 +741,7 @@ class Trainer:
             return self.evaluator.evaluate_indexed(
                 state, val_pairs, dev[0], dev[1], batch_size=b,
                 put_idx=getattr(self, "_eval_put_idx", None),
+                store_gather=getattr(self, "_eval_store_gather", None),
             )
         batches = (
             assemble_pair_batch(self.notice_store, self.company_store, idx)
@@ -636,8 +755,10 @@ class Trainer:
         dev = getattr(self, "_dev_stores", None)
         if dev is not None:
             # the big side encodes straight from the HBM-resident store
+            # (row-sharded stores go through the explicit exchange)
             corpus_emb = self.evaluator.encode_corpus_device(
-                state, dev[1], len(self.company_store), side="company"
+                state, dev[1], len(self.company_store), side="company",
+                store_gather=getattr(self, "_eval_store_gather", None),
             )
         else:
             corpus_emb = self.evaluator.encode_corpus(

@@ -173,6 +173,23 @@ def worker(process_id: int, num_processes: int) -> None:
     )
     stream_loss = result.history[-1]["train_loss"]
 
+    # ---- compressed-DP Trainer across processes (VERDICT r3 #1) -----------
+    # the DCN scenario grad_compression exists for: dense grads cross the
+    # process boundary as int8-quantized int16-psum wire traffic with
+    # per-worker error-feedback residuals (parallel/compressed_grads.py)
+    cfg_c = cfg.replace(
+        results_csv="",
+        mesh=dataclasses.replace(cfg.mesh, grad_compression="int16"),
+    )
+    trainer_c = Trainer(
+        cfg_c, ds.schema, ds.notice_store, ds.company_store,
+        mesh=mesh, log_fn=lambda s: None,
+    )
+    res_c = trainer_c.train(
+        ds.pairs[:1024], np.empty((0, 2), np.int64), corpus_eval=False
+    )
+    compressed_loss = float(res_c.history[-1]["train_loss"])
+
     print(json.dumps({
         "process": idx, "processes": count, "global_devices": n_global,
         "losses": [round(l, 6) for l in losses],
@@ -183,6 +200,8 @@ def worker(process_id: int, num_processes: int) -> None:
         "stream_batches": int(my_batches),
         "stream_loss": round(float(stream_loss), 6),
         "stream_finite": bool(np.isfinite(stream_loss)),
+        "compressed_loss": round(compressed_loss, 6),
+        "compressed_finite": bool(np.isfinite(compressed_loss)),
     }), flush=True)
 
 
@@ -214,6 +233,10 @@ def main() -> int:
     assert outs[0]["stream_batches"] == outs[1]["stream_batches"] > 0, outs
     assert outs[0]["stream_loss"] == outs[1]["stream_loss"], outs
     assert all(o["stream_finite"] for o in outs), outs
+    # compressed-DP: identical replicated loss on both processes (the
+    # int16 psum'd gradient is applied identically everywhere) and finite
+    assert outs[0]["compressed_loss"] == outs[1]["compressed_loss"], outs
+    assert all(o["compressed_finite"] for o in outs), outs
     print(json.dumps({"bench": "multihost_smoke", "ok": True, **outs[0]}))
     return 0
 

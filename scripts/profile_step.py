@@ -196,12 +196,17 @@ VARIANTS = [
     "no_bn",           # full, use_batch_norm=False
     "xla_loss",        # full, use_fused_logits=False
     "scatter_grad",    # full, embedding_grad=scatter
+    "onehot_lookup",   # full, embedding_lookup=onehot (one-hot MXU forward)
+    "gather_lookup",   # full, embedding_lookup=gather (row-DMA forward —
+                       # the pre-round-4 default, kept as the control)
 ]
 
 _MODEL_TOGGLES = {"no_dropout": {"dropout_rate": 0.0},
                   "rbg_dropout": {"dropout_rng_impl": "rbg"},
                   "no_bn": {"use_batch_norm": False},
-                  "scatter_grad": {"embedding_grad": "scatter"}}
+                  "scatter_grad": {"embedding_grad": "scatter"},
+                  "onehot_lookup": {"embedding_lookup": "onehot"},
+                  "gather_lookup": {"embedding_lookup": "gather"}}
 _LOSS_TOGGLES = {"xla_loss": {"use_fused_logits": False}}
 
 

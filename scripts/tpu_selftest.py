@@ -172,6 +172,27 @@ def check_dense_table_grad(b: int = 8192, k: int = 32) -> None:
     emit("dense_table_grad_t_bitexact_vs_standard", exact, b=b, k=k, rows=int(total))
 
 
+def check_onehot_lookup(b: int = 8192, k: int = 32) -> None:
+    """One-hot MXU forward lookup (VERDICT r3 #2) vs the row-DMA gather:
+    must be BIT-exact on hardware (one-hot matmul contributes each row's
+    bf16 value exactly once; other tiles add true zeros)."""
+    from jodalrob_twotower_tpu.models.embedding import table_layout, tile_feature_map
+    from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_lookup_t
+
+    vocabs = tuple([1000] * k)
+    offsets, total = table_layout(vocabs)
+    key = jax.random.PRNGKey(5)
+    ids = jax.random.randint(key, (b, k), 0, 1000) + jnp.asarray(offsets)[None, :]
+    table = jax.random.normal(jax.random.fold_in(key, 1), (total, 32), jnp.float32)
+    got = dense_table_lookup_t(
+        table, ids, total_rows=total,
+        tile_feature=tuple(tile_feature_map(vocabs).tolist()),
+    )  # [K, D, B]
+    want = jnp.take(table.astype(jnp.bfloat16), ids, axis=0)  # [B, K, D]
+    exact = bool(jnp.all(jnp.transpose(got, (2, 0, 1)) == want))
+    emit("onehot_lookup_bitexact_vs_gather", exact, b=b, k=k, rows=int(total))
+
+
 def check_pallas_gather(n_rows: int = 100_000, d: int = 128, b: int = 8192) -> None:
     from jodalrob_twotower_tpu.ops.embedding_lookup import (
         _pallas_gather_flat,
@@ -225,6 +246,7 @@ def main() -> None:
     check_fused_ce_grads(b=16384, eps=0.1)  # col-blocked stats fwd + eps bwd
     check_blocked_large()            # B=32768: beyond the XLA reference
     check_dense_table_grad()
+    check_onehot_lookup()
     check_pallas_gather()
     check_sampled_step_determinism()
     sys.exit(1 if FAILED else 0)

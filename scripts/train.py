@@ -57,6 +57,16 @@ def parse_args(argv=None):
         "(global batch sampled on-mesh); incompatible with --stream",
     )
     p.add_argument(
+        "--fused-logits",
+        choices=["auto", "on", "off"],
+        help="fused Pallas CE loss kernels (ops/fused_logits.py): 'auto' "
+        "(default) uses them on TPU for cross_entropy — measured 10.3x the "
+        "materializing XLA loss at B=8192 and the only runnable form at "
+        "global B>=32768; 'off' forces the XLA path (per-step in-batch "
+        "metrics from the materialized [B,B]); 'on' forces the kernels "
+        "(shapes beyond the envelope still fall back to XLA)",
+    )
+    p.add_argument(
         "--mesh-devices",
         type=int,
         help="train over an N-device mesh (tables row-sharded, batch dim "
@@ -69,6 +79,16 @@ def parse_args(argv=None):
         "'rows' shards the dense/cat matrices so each chip holds 1/N "
         "(for corpora whose features exceed one chip's HBM); default "
         "replicated",
+    )
+    p.add_argument(
+        "--grad-compression",
+        choices=["none", "int16", "bf16"],
+        help="compressed dense-gradient all-reduce with error feedback "
+        "under --mesh-devices (parallel/compressed_grads.py) — for DP "
+        "whose gradient sync rides a slow interconnect (multi-host DCN): "
+        "2 B/elem on the wire vs f32's 4. Switches the loss to LOCAL "
+        "in-batch negatives per shard (the reference's per-GPU "
+        "semantics); default none (global negatives, GSPMD sync)",
     )
     return p.parse_args(argv)
 
@@ -102,11 +122,24 @@ def main(argv=None) -> int:
                 "it is incompatible with --stream"
             )
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, sample_on_device=True))
+    if args.fused_logits:
+        resolved = {"auto": "auto", "on": True, "off": False}[args.fused_logits]
+        cfg = cfg.replace(
+            loss=dataclasses.replace(cfg.loss, use_fused_logits=resolved)
+        )
     if args.store_sharding:
         if not args.mesh_devices:
             raise SystemExit("--store-sharding requires --mesh-devices")
         cfg = cfg.replace(
             mesh=dataclasses.replace(cfg.mesh, store_sharding=args.store_sharding)
+        )
+    if args.grad_compression:
+        if not args.mesh_devices and args.grad_compression != "none":
+            raise SystemExit("--grad-compression requires --mesh-devices")
+        cfg = cfg.replace(
+            mesh=dataclasses.replace(
+                cfg.mesh, grad_compression=args.grad_compression
+            )
         )
 
     if args.synthetic or not args.data_dir:

@@ -174,6 +174,188 @@ def test_int16_rejects_too_many_workers(tiny_dataset):
         )
 
 
+def _small_cfg(**mesh_kw):
+    from jodalrob_twotower_tpu.config import MeshConfig
+
+    return TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(32, 16), final_embedding_dim=8,
+            dropout_rate=0.0, compute_dtype="float32",
+        ),
+        loss=LossConfig(temperature=0.2, use_fused_logits=False),
+        optimizer=OptimizerConfig(learning_rate=3e-3),
+        data=DataConfig(batch_size=128),
+        mesh=MeshConfig(**mesh_kw),
+        results_csv="",
+    )
+
+
+def _stores(ds, put):
+    n = put((np.asarray(ds.notice_store.dense), np.asarray(ds.notice_store.cat_ids)))
+    c = put((np.asarray(ds.company_store.dense), np.asarray(ds.company_store.cat_ids)))
+    return n, c
+
+
+def test_dp_compressed_indexed_matches_full_batch(tiny_dataset):
+    """The indexed production step (device stores + [B, 2] indices —
+    parallel/compressed_grads.make_dp_compressed_indexed_train) runs the
+    SAME math as the full-batch compressed step: per-step losses match."""
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_indexed_train,
+    )
+
+    ds = tiny_dataset
+    cfg = _small_cfg()
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+    tx = build_optimizer(cfg.optimizer, 100)
+
+    state_f, err_f, step_f, put_batch = make_dp_compressed_train_step(
+        model, cfg, tx, mesh, example, 100, method="int16"
+    )
+    cdp = make_dp_compressed_indexed_train(
+        model, cfg, mesh, example, 100, method="int16"
+    )
+    n_store, c_store = _stores(ds, cdp.put_store)
+    state_i, err_i = cdp.state, cdp.err_state
+
+    losses_f, losses_i = [], []
+    for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=3)):
+        batch = put_batch(
+            assemble_pair_batch(ds.notice_store, ds.company_store, idx)
+        )
+        state_f, err_f, m_f = step_f(state_f, err_f, batch)
+        state_i, err_i, m_i = cdp.single_step(
+            state_i, err_i, cdp.put_idx(idx.astype(np.int32)), n_store, c_store
+        )
+        losses_f.append(float(m_f["loss"]))
+        losses_i.append(float(m_i["loss"]))
+        if i >= 4:
+            break
+    np.testing.assert_allclose(losses_i, losses_f, rtol=1e-5)
+    # the single step also surfaces the per-shard in-batch metric set
+    for key in ("accuracy", "mrr", "similarity_gap", "z_gap"):
+        assert key in m_i and np.isfinite(float(m_i[key]))
+
+
+def test_dp_compressed_scan_matches_singles(tiny_dataset):
+    """One n_inner=2 scanned dispatch == two single dispatches."""
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_indexed_train,
+    )
+
+    ds = tiny_dataset
+    cfg = _small_cfg()
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+
+    idx0 = tr[:128].astype(np.int32)
+    idx1 = tr[128:256].astype(np.int32)
+
+    a = make_dp_compressed_indexed_train(model, cfg, mesh, example, 100, method="int16")
+    n_store, c_store = _stores(ds, a.put_store)
+    st, er = a.state, a.err_state
+    st, er, m0 = a.single_step(st, er, a.put_idx(idx0), n_store, c_store)
+    st, er, m1 = a.single_step(st, er, a.put_idx(idx1), n_store, c_store)
+
+    b = make_dp_compressed_indexed_train(model, cfg, mesh, example, 100, method="int16")
+    n_store2, c_store2 = _stores(ds, b.put_store)
+    stack = b.put_idx(np.stack([idx0, idx1]))
+    st2, er2, m = b.scan_steps(b.state, b.err_state, stack, n_store2, c_store2)
+
+    np.testing.assert_allclose(
+        np.asarray(m["loss"]),
+        [float(m0["loss"]), float(m1["loss"])],
+        rtol=1e-5,
+    )
+    for l1, l2 in zip(jax.tree.leaves(st.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
+def test_dp_compressed_sampled_steps(tiny_dataset):
+    """On-device sampling in compressed mode: one key per dispatch, each
+    shard draws its local batch; steps advance and losses are finite."""
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_indexed_train,
+    )
+    from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+    ds = tiny_dataset
+    cfg = _small_cfg()
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+
+    cdp = make_dp_compressed_indexed_train(model, cfg, mesh, example, 100, method="int16")
+    n_store, c_store = _stores(ds, cdp.put_store)
+    pairs_dev = jax.device_put(tr.astype(np.int32), replicated(mesh))
+    steps = cdp.make_sampled(3)
+    key = jax.random.PRNGKey(7)
+    st, er, m = steps(cdp.state, cdp.err_state, key, pairs_dev, n_store, c_store)
+    assert int(st.step) == 3
+    losses = np.asarray(m["loss"])
+    assert losses.shape == (3,) and np.all(np.isfinite(losses))
+    # replayable: same key + fresh state -> identical draws and losses
+    cdp2 = make_dp_compressed_indexed_train(model, cfg, mesh, example, 100, method="int16")
+    n2, c2 = _stores(ds, cdp2.put_store)
+    _, _, m2 = cdp2.make_sampled(3)(cdp2.state, cdp2.err_state, key, pairs_dev, n2, c2)
+    np.testing.assert_allclose(losses, np.asarray(m2["loss"]), rtol=1e-6)
+
+
+def test_trainer_grad_compression_e2e(tiny_dataset):
+    """MeshConfig.grad_compression drives the Trainer end-to-end: trains,
+    learns, validates; sampled mode works; bad combos rejected."""
+    import dataclasses as dc
+
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    ds = tiny_dataset
+    tr, va = ds.split(0.2, seed=0)
+    mesh = make_mesh(jax.devices()[:8])
+
+    cfg = _small_cfg(grad_compression="int16")
+    cfg = cfg.replace(optimizer=dc.replace(cfg.optimizer, num_epochs=2))
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store,
+                      mesh=mesh, log_fn=lambda s: None)
+    r = trainer.train(tr, va[:256], corpus_eval=False)
+    assert r.history[-1]["train_loss"] < r.history[0]["train_loss"]
+    assert np.isfinite(r.final_val["loss"])
+
+    # sampled-on-device x compression
+    cfg_s = cfg.replace(data=dc.replace(cfg.data, sample_on_device=True))
+    trainer_s = Trainer(cfg_s, ds.schema, ds.notice_store, ds.company_store,
+                        mesh=mesh, log_fn=lambda s: None)
+    r_s = trainer_s.train(tr, va[:256], corpus_eval=False)
+    assert r_s.history[-1]["train_loss"] < r_s.history[0]["train_loss"]
+
+    # rejected combinations
+    cfg_sp = cfg.replace(sparse_tables=True)
+    with pytest.raises(ValueError, match="grad_compression"):
+        Trainer(cfg_sp, ds.schema, ds.notice_store, ds.company_store,
+                mesh=mesh, log_fn=lambda s: None).train(
+            tr, va[:256], corpus_eval=False)
+    cfg_rows = cfg.replace(mesh=dc.replace(cfg.mesh, store_sharding="rows"))
+    with pytest.raises(ValueError, match="replicated"):
+        Trainer(cfg_rows, ds.schema, ds.notice_store, ds.company_store,
+                mesh=mesh, log_fn=lambda s: None).train(
+            tr, va[:256], corpus_eval=False)
+
+
+def test_grad_compression_config_validation():
+    from jodalrob_twotower_tpu.config import MeshConfig
+
+    assert MeshConfig().grad_compression == "none"
+    MeshConfig(grad_compression="bf16")
+    with pytest.raises(ValueError, match="grad_compression"):
+        MeshConfig(grad_compression="fp8")
+
+
 def test_dp_compressed_with_batchnorm_and_dropout(tiny_dataset):
     """BN running stats pmean across shards + per-shard dropout keys: the
     step runs, learns, and batch_stats stay replicated-consistent."""

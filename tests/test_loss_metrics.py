@@ -114,6 +114,36 @@ def test_in_batch_metrics_against_numpy(rng):
     assert m["similarity_gap"] == pytest.approx(
         diag.mean() - off.mean(), rel=1e-4, abs=1e-5
     )
+    # Z-gap (reference scripts/train.py:347-351):
+    # sim_gap / max(|neg_sim| + 1e-8, 1e-8)
+    gap = diag.mean() - off.mean()
+    assert m["z_gap"] == pytest.approx(
+        gap / (abs(off.mean()) + 1e-8), rel=1e-4, abs=1e-5
+    )
+
+
+def test_resolve_use_fused():
+    """use_fused_logits='auto' (the default) resolves True only on a TPU
+    backend with the CE loss; bools pass through; junk rejected."""
+    import jax
+
+    from jodalrob_twotower_tpu.config import LossConfig, TrainConfig
+    from jodalrob_twotower_tpu.train.loss import resolve_use_fused
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert LossConfig().use_fused_logits == "auto"
+    assert resolve_use_fused(LossConfig()) is on_tpu
+    assert resolve_use_fused(LossConfig(use_fused_logits=True)) is True
+    assert resolve_use_fused(LossConfig(use_fused_logits=False)) is False
+    # auto never enables it for the non-CE loss
+    assert (
+        resolve_use_fused(LossConfig(loss_type="cosine_embedding")) is False
+    )
+    with pytest.raises(ValueError, match="use_fused_logits"):
+        LossConfig(use_fused_logits="yes")
+    # JSON round-trip preserves the sentinel
+    cfg = TrainConfig.from_dict(TrainConfig().to_dict())
+    assert cfg.loss.use_fused_logits == "auto"
 
 
 def test_random_baselines():

@@ -121,6 +121,101 @@ def test_sharded_sparse_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_sampled_sparse_matches_hostfed(setup):
+    """On-device sampling on the MESH sparse path (VERDICT r3 #3): the
+    sampled scan's step-folded draws, replayed host-side through the
+    host-fed sharded sparse step, give identical losses and tables."""
+    from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+        make_sharded_sampled_sparse,
+    )
+
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+    b = 32
+    n_store = device_store(ds.notice_store)
+    c_store = device_store(ds.company_store)
+
+    # sampled path
+    state_s, _, _, put_store_s = make_sharded_sparse_train(
+        model, _CFG, mesh, warm, 10
+    )
+    steps, put_pairs = make_sharded_sampled_sparse(
+        model, _CFG, mesh, state_s, 3, b, 10
+    )
+    pairs_host = ds.pairs.astype(np.int32)
+    key = jax.random.PRNGKey(11)
+    st_s, m_s = steps(
+        state_s, key, put_pairs(pairs_host),
+        put_store_s(n_store), put_store_s(c_store),
+    )
+
+    # host-fed replay of the same draws
+    state_h, step_h, put_batch, put_store_h = make_sharded_sparse_train(
+        model, _CFG, mesh, warm, 10, with_metrics=True
+    )
+    n8, c8 = put_store_h(n_store), put_store_h(c_store)
+    losses_h = []
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        rows = np.asarray(jax.random.randint(k, (b,), 0, len(pairs_host)))
+        state_h, m_h = step_h(state_h, put_batch(pairs_host[rows]), n8, c8)
+        losses_h.append(float(m_h["loss"]))
+
+    np.testing.assert_allclose(np.asarray(m_s["loss"]), losses_h, rtol=2e-5)
+    assert int(st_s.step) == 3
+    for side in ("notice_table", "company_table"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_s, side).table),
+            np.asarray(getattr(state_h, side).table),
+            rtol=2e-5, atol=1e-6,
+        )
+    # determinism: the same key replays the same window
+    state_s2, _, _, put_store_s2 = make_sharded_sparse_train(
+        model, _CFG, mesh, warm, 10
+    )
+    steps2, put_pairs2 = make_sharded_sampled_sparse(
+        model, _CFG, mesh, state_s2, 3, b, 10
+    )
+    _, m_s2 = steps2(
+        state_s2, key, put_pairs2(pairs_host),
+        put_store_s2(n_store), put_store_s2(c_store),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_s["loss"]), np.asarray(m_s2["loss"])
+    )
+
+
+def test_sharded_sampled_sparse_rows_store(setup):
+    """Sampled mesh sparse combined with ROW-SHARDED feature stores: the
+    full 10M-vocab configuration's layout runs and learns."""
+    from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+        make_sharded_sampled_sparse,
+    )
+
+    schema, ds, model, warm = setup
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = dataclasses.replace(_CFG, mesh=MeshConfig(store_sharding="rows"))
+    state, _, _, put_store = make_sharded_sparse_train(
+        model, cfg, mesh, warm, 40
+    )
+    steps, put_pairs = make_sharded_sampled_sparse(
+        model, cfg, mesh, state, 4, 32, 40
+    )
+    n_rs = put_store((np.asarray(ds.notice_store.dense),
+                      np.asarray(ds.notice_store.cat_ids)))
+    c_rs = put_store((np.asarray(ds.company_store.dense),
+                      np.asarray(ds.company_store.cat_ids)))
+    assert not n_rs[0].sharding.is_fully_replicated
+    pairs = put_pairs(ds.pairs.astype(np.int32))
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for d in range(6):
+        state, m = steps(state, jax.random.fold_in(key, d), pairs, n_rs, c_rs)
+        losses.extend(np.asarray(m["loss"]).tolist())
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
 def test_sparse_tables_actually_sharded(setup):
     schema, ds, model, warm = setup
     mesh = make_mesh(jax.devices()[:8])
