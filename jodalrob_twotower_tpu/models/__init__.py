@@ -39,6 +39,8 @@ def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
         )
 
         lookup_fn = ShardedDenseGradLookup(
-            mesh, forced=cfg.model.embedding_grad == "dense"
+            mesh,
+            forced=cfg.model.embedding_grad == "dense",
+            lookup_mode=getattr(cfg.model, "embedding_lookup", "auto"),
         )
     return TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup, lookup_fn)

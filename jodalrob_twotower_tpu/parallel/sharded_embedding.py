@@ -71,12 +71,21 @@ class ShardedDenseGradLookup:
         interpret: bool | None = None,
         max_rows: int = 1 << 16,
         forced: bool = False,
+        lookup_mode: str = "auto",
     ) -> None:
         """``forced``: the config explicitly asked for the dense-grad
         backward (embedding_grad="dense"), so run the kernel at ANY table
         height — matching the single-device 'dense' semantics
         (models/embedding.py) instead of silently reverting to the scatter
-        above ``max_rows`` (the 'auto' crossover)."""
+        above ``max_rows`` (the 'auto' crossover).
+
+        ``lookup_mode`` (config.ModelConfig.embedding_lookup): with
+        "onehot", or "auto" on a TPU backend, the FORWARD also runs as the
+        one-hot MXU kernel per shard (ops/embedding_grad.
+        dense_table_lookup_t over each shard's batch rows against the
+        replicated table) — the mesh form of the round-4 headline win
+        (single-chip in-step 2.65 -> 2.07 ms, BENCHMARKS.md); "gather"
+        keeps the plain take forward."""
         self.mesh = mesh
         self.axis = axis
         self.interpret = (
@@ -84,6 +93,9 @@ class ShardedDenseGradLookup:
         )
         self.max_rows = max_rows
         self.forced = forced
+        self.onehot_forward = lookup_mode == "onehot" or (
+            lookup_mode == "auto" and jax.default_backend() == "tpu"
+        )
         self._cache: dict = {}
 
     def __call__(self, table, rows, *, total_rows: int, tile_feature: tuple):
@@ -95,7 +107,10 @@ class ShardedDenseGradLookup:
         return self._cache[key](table, rows)
 
     def _build(self, total_rows: int, tile_feature: tuple):
-        from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_grad_t
+        from jodalrob_twotower_tpu.ops.embedding_grad import (
+            dense_table_grad_t,
+            dense_table_lookup_t,
+        )
 
         axis, interpret = self.axis, self.interpret
 
@@ -116,6 +131,43 @@ class ShardedDenseGradLookup:
             out_specs=P(),
             check_vma=False,  # pallas out_shapes carry no vma annotation
         )
+
+        if self.onehot_forward:
+            # forward as the one-hot MXU kernel per shard: the replicated
+            # table streams once per shard, each shard emits its own
+            # [b_local, K, D] batch rows — same math distribution as the
+            # backward, bit-exact vs take (selftest)
+            def fwd_local(table_l, rows_l):
+                emb_t = dense_table_lookup_t(
+                    table_l, rows_l, total_rows=total_rows,
+                    tile_feature=tile_feature, interpret=interpret,
+                )  # [K, D, b_local]
+                return jnp.transpose(emb_t, (2, 0, 1))
+
+            fwd_sm = shard_map(
+                fwd_local,
+                mesh=self.mesh,
+                in_specs=(P(), P(axis, None)),
+                out_specs=P(axis, None, None),
+                check_vma=False,
+            )
+
+            @jax.custom_vjp
+            def lookup(table, rows):
+                return fwd_sm(table, rows)
+
+            def fwd(table, rows):
+                # bf16 activation regardless of table dtype: carry a
+                # dtype prototype for the grad (ops/embedding_grad.
+                # make_onehot_lookup does the same)
+                return fwd_sm(table, rows), (rows, jnp.zeros((), table.dtype))
+
+            def bwd(res, ct):
+                rows, proto = res
+                return bwd_sm(rows, ct).astype(proto.dtype), None
+
+            lookup.defvjp(fwd, bwd)
+            return lookup
 
         @jax.custom_vjp
         def lookup(table, rows):

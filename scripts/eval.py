@@ -43,6 +43,14 @@ def parse_args(argv=None):
                    "placing the feature stores in HBM (device-resident "
                    "eval is the default: indices-only H2D; opt out when "
                    "the stores exceed device memory)")
+    p.add_argument("--mesh-devices", type=int,
+                   help="evaluate over an N-device mesh (state replicated; "
+                   "stores placed per --store-sharding)")
+    p.add_argument("--store-sharding", choices=["replicated", "rows"],
+                   help="with --mesh-devices: 'rows' shards the feature "
+                   "stores so each chip holds 1/N (eval batch assembly "
+                   "goes through the explicit cross-shard exchange) — for "
+                   "stores that exceed one chip's HBM")
     return p.parse_args(argv)
 
 
@@ -96,13 +104,41 @@ def main(argv=None) -> int:
     b = args.batch_size or cfg.data.batch_size
     print(f"eval: {len(val_pairs):,} validation pairs, batch {b}", file=sys.stderr)
 
-    model = build_model(schema, cfg, None)
+    mesh = None
+    put_idx = None
+    store_gather = None
+    if args.mesh_devices:
+        import dataclasses
+
+        from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+
+        avail = jax.devices()
+        if len(avail) < args.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices} but only {len(avail)} "
+                "device(s) available"
+            )
+        if args.store_sharding:
+            cfg = cfg.replace(
+                mesh=dataclasses.replace(cfg.mesh, store_sharding=args.store_sharding)
+            )
+        mesh = make_mesh(avail[: args.mesh_devices])
+    elif args.store_sharding:
+        raise SystemExit("--store-sharding requires --mesh-devices")
+
+    model = build_model(schema, cfg, mesh)
     rows = np.arange(min(8, len(notice_store)))
     example = assemble_pair_batch(notice_store, company_store, np.stack([rows, rows], 1))
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
     ckpt = CheckpointManager(args.model_dir, cfg.checkpoint)
     restored = ckpt.restore_weights(variables["params"], variables.get("batch_stats", {}))
     state = FrozenState(**restored)
+    if mesh is not None:
+        from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+        rep = replicated(mesh)
+        state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+        put_idx = lambda x: jax.device_put(x, rep)  # noqa: E731
 
     evaluator = Evaluator(model, cfg)
 
@@ -117,10 +153,29 @@ def main(argv=None) -> int:
         # bf16-compute checkpoints — exactly the big-store case the
         # device default targets)
         store_dt = resolve_store_dtype(cfg)
-        dev_stores = (
-            device_store(notice_store, dtype=store_dt),
-            device_store(company_store, dtype=store_dt),
-        )
+        if mesh is not None:
+            from jodalrob_twotower_tpu.parallel.sharded_store import (
+                make_tower_batch_gather,
+                resolve_store_placement,
+            )
+
+            _, _, put_store = resolve_store_placement(cfg, mesh)
+
+            def _host(fs):
+                dense = np.asarray(fs.dense)
+                if store_dt is not None:
+                    dense = dense.astype(store_dt)
+                return (dense, np.asarray(fs.cat_ids))
+
+            dev_stores = (put_store(_host(notice_store)),
+                          put_store(_host(company_store)))
+            if cfg.mesh.store_sharding == "rows":
+                store_gather = make_tower_batch_gather(mesh)
+        else:
+            dev_stores = (
+                device_store(notice_store, dtype=store_dt),
+                device_store(company_store, dtype=store_dt),
+            )
 
     def batches():
         for start in range(0, len(val_pairs) - b + 1, b):
@@ -131,7 +186,8 @@ def main(argv=None) -> int:
     report: dict = {"model_dir": str(args.model_dir), "num_val_pairs": int(len(val_pairs))}
     if dev_stores is not None and len(val_pairs) >= b:
         metrics = evaluator.evaluate_indexed(
-            state, val_pairs, dev_stores[0], dev_stores[1], batch_size=b
+            state, val_pairs, dev_stores[0], dev_stores[1], batch_size=b,
+            put_idx=put_idx, store_gather=store_gather,
         )
     else:
         metrics = evaluator.evaluate(state, batches())
@@ -143,7 +199,8 @@ def main(argv=None) -> int:
         ks = tuple(int(k) for k in args.ks.split(","))
         if dev_stores is not None:
             corpus_emb = evaluator.encode_corpus_device(
-                state, dev_stores[1], len(company_store), side="company")
+                state, dev_stores[1], len(company_store), side="company",
+                store_gather=store_gather)
         else:
             corpus_emb = evaluator.encode_corpus(
                 state, company_store.dense, company_store.cat_ids, side="company")

@@ -116,6 +116,54 @@ def test_sharded_dense_grad_lookup_matches_take_grad(mesh, rng):
     )
 
 
+def test_sharded_onehot_forward_matches_take(mesh, rng):
+    """ShardedDenseGradLookup with the one-hot FORWARD (lookup_mode=
+    'onehot' — the mesh form of the round-4 headline win): forward ==
+    take of the bf16 table exactly, grads == the dense-grad backward."""
+    from jodalrob_twotower_tpu.models.embedding import tile_feature_map
+    from jodalrob_twotower_tpu.parallel.sharded_embedding import (
+        ShardedDenseGradLookup,
+    )
+
+    vocabs = (100, 250)
+    tf = tuple(tile_feature_map(vocabs).tolist())
+    r, d, b = 384, 8, 32
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    rows = jnp.asarray(
+        np.stack(
+            [rng.integers(0, 100, size=b), 128 + rng.integers(0, 250, size=b)],
+            axis=1,
+        ).astype(np.int32)
+    )
+    lookup = ShardedDenseGradLookup(mesh, interpret=True, lookup_mode="onehot")
+    assert lookup.onehot_forward
+    out = lookup(table, rows, total_rows=r, tile_feature=tf)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32),
+        np.asarray(jnp.take(table.astype(jnp.bfloat16), rows, axis=0), np.float32),
+    )
+
+    def loss_onehot(t):
+        return jnp.sum(
+            lookup(t, rows, total_rows=r, tile_feature=tf).astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(t):
+        return jnp.sum(
+            jnp.take(t.astype(jnp.bfloat16), rows, axis=0).astype(jnp.float32) ** 2
+        )
+
+    g_o = jax.jit(jax.grad(loss_onehot))(table)
+    g_r = jax.grad(loss_ref)(table)
+    assert g_o.dtype == table.dtype
+    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_r), rtol=1e-2, atol=1e-4)
+    # "gather" keeps the take forward (f32 passthrough)
+    plain = ShardedDenseGradLookup(mesh, interpret=True, lookup_mode="gather")
+    assert not plain.onehot_forward
+    assert plain(table, rows, total_rows=r, tile_feature=tf).dtype == jnp.float32
+
+
 def test_replicated_dense_grad_train_step_matches_scatter(tiny_dataset, mesh):
     """Sharded train step with embedding_sharding='replicated' (dense-grad
     kernel backward via shard_map) == the single-device scatter step."""
