@@ -127,7 +127,7 @@ def train_scaled(sparse: bool = False, deferred: bool = False,
             table_rows = state_m.notice_table.table.shape[0]
             W = 8
             steps, put_pairs = make_sharded_sampled_sparse(
-                model, cfg, mesh, state_m, W, b, 100
+                model, cfg, mesh, state_m, W, b, 100, defer_updates=deferred
             )
             n_store = put_store((ds.notice_store.dense, ds.notice_store.cat_ids))
             c_store = put_store((ds.company_store.dense, ds.company_store.cat_ids))
@@ -145,7 +145,8 @@ def train_scaled(sparse: bool = False, deferred: bool = False,
             float(np.asarray(m["loss"])[-1])
             dt = (time.perf_counter() - t0) / (n_disp * W)
             _emit(
-                "train_scaled_sparse_sampled",
+                "train_scaled_sparse_sampled"
+                + ("_deferred" if deferred else ""),
                 examples_per_sec=round(b / dt, 1),
                 step_ms=round(dt * 1e3, 2),
                 window=W,
@@ -780,6 +781,8 @@ BENCHES = {
     "train_scaled_sparse_deferred_peroc": lambda: train_scaled(
         sparse=True, deferred=True, dedup="per_occurrence"),
     "train_scaled_sparse_sampled": lambda: train_scaled(sparse=True, sampled=True),
+    "train_scaled_sparse_sampled_deferred": lambda: train_scaled(
+        sparse=True, sampled=True, deferred=True),
     "sparse_dedup_convergence": sparse_dedup_convergence,
     "serving_exact": lambda: serving("exact"),
     "serving_int8": lambda: serving("int8"),

@@ -173,6 +173,8 @@ def make_sharded_sampled_sparse(
     n_inner: int,
     batch_size: int,
     total_steps: int,
+    *,
+    defer_updates: bool = False,
 ):
     """ON-DEVICE batch sampling for MESH sparse training — the 10M-vocab
     configuration (BASELINE config 3) no longer stays host-fed: the
@@ -202,12 +204,22 @@ def make_sharded_sampled_sparse(
     shardings = jax.tree.map(lambda x: x.sharding, state)
     rep = replicated(mesh)
     store_gather, store_shardings, _ = resolve_store_placement(cfg, mesh)
-    inner = make_sparse_train_step(
-        model, cfg, tx, total_steps, jit=False, with_metrics=False,
-        mesh=mesh, store_gather=store_gather,
-    )
+    if defer_updates:
+        # sampled x deferred: one key per window AND one batched table
+        # update per window (train/sparse_tables.deferred_sparse_steps_fn
+        # sampled mode) — the fastest 10M-vocab config, key-fed
+        steps_fn = deferred_sparse_steps_fn(
+            model, cfg, tx, total_steps, mesh=mesh, store_gather=store_gather,
+            sampled=(n_inner, batch_size),
+        )
+    else:
+        inner = make_sparse_train_step(
+            model, cfg, tx, total_steps, jit=False, with_metrics=False,
+            mesh=mesh, store_gather=store_gather,
+        )
+        steps_fn = sampled_scan_fn(inner, n_inner, batch_size)
     steps = jax.jit(
-        sampled_scan_fn(inner, n_inner, batch_size),
+        steps_fn,
         in_shardings=(shardings, None, rep, store_shardings, store_shardings),
         out_shardings=(shardings, None),
         donate_argnums=(0,),

@@ -423,8 +423,8 @@ def make_sampled_sparse_steps(
     draws; the pair set lives in HBM, one PRNG key per dispatch).
 
     Call: steps(state, key, pairs_dev [P, 2], notice_store, company_store).
-    Not combined with deferred windows (a sampled deferred scan would need
-    its own aux plumbing; per-step updates are the sampled default).
+    For deferred windows use :func:`make_sampled_deferred_sparse_steps`
+    (one key per window AND one batched table update per window).
     """
     from jodalrob_twotower_tpu.train.train_step import sampled_scan_fn
 
@@ -475,10 +475,20 @@ def deferred_sparse_steps_fn(
     total_steps: int,
     mesh=None,
     store_gather=None,
+    *,
+    sampled: tuple[int, int] | None = None,
 ):
     """The unjitted deferred-window scan body (see make_deferred_sparse_steps).
 
-    Exposed so parallel/sharded_sparse.py can jit it with mesh shardings."""
+    Exposed so parallel/sharded_sparse.py can jit it with mesh shardings.
+
+    ``sampled=(n_inner, batch_size)`` switches the window to ON-DEVICE IID
+    batch draws (train_step.sampled_scan_fn semantics — key folded with the
+    global step, replayable/resume-exact): the signature becomes
+    ``steps_fn(state, sample_key, pairs_dev, notice_store, company_store)``
+    and the host ships one PRNG key per window instead of an
+    [n_inner, B, 2] index stack — the fastest 10M-vocab config (deferred
+    windowed updates) without the host-fed tunnel-congestion exposure."""
     inner = make_sparse_train_step(
         model, cfg, tx, total_steps, jit=False, with_metrics=False,
         defer_table_updates=True, mesh=mesh, store_gather=store_gather,
@@ -490,13 +500,9 @@ def deferred_sparse_steps_fn(
     eps = cfg.optimizer.adagrad_eps
     dedup = cfg.optimizer.sparse_duplicate_handling == "exact"
 
-    def steps_fn(state, pair_idx_stack, notice_store, company_store):
-        def body(carry, pair_idx):
-            new_state, m = inner(carry, pair_idx, notice_store, company_store)
-            aux = (m.pop("rows_n"), m.pop("g_n"), m.pop("rows_c"), m.pop("g_c"))
-            return new_state, (m, aux)
-
-        state, (metrics, aux) = jax.lax.scan(body, state, pair_idx_stack)
+    def window_update(state, aux):
+        """ONE batched rowwise-Adagrad scatter per side over the window's
+        stacked occurrences."""
         rows_n, g_n, rows_c, g_c = aux  # each stacked [n_inner, ...]
         lr_t = emb_schedule(state.step - 1)
         d = g_n.shape[-1]
@@ -508,7 +514,7 @@ def deferred_sparse_steps_fn(
             state.company_table, rows_c.reshape(-1), g_c.reshape(-1, d),
             lr=lr_t, eps=eps, dedup=dedup,
         )
-        state = SparseTrainState(
+        return SparseTrainState(
             step=state.step,
             dense_params=state.dense_params,
             batch_stats=state.batch_stats,
@@ -517,6 +523,54 @@ def deferred_sparse_steps_fn(
             company_table=new_ct,
             rng=state.rng,
         )
-        return state, metrics
+
+    def body_of(carry, pair_idx, notice_store, company_store):
+        new_state, m = inner(carry, pair_idx, notice_store, company_store)
+        aux = (m.pop("rows_n"), m.pop("g_n"), m.pop("rows_c"), m.pop("g_c"))
+        return new_state, (m, aux)
+
+    if sampled is None:
+
+        def steps_fn(state, pair_idx_stack, notice_store, company_store):
+            def body(carry, pair_idx):
+                return body_of(carry, pair_idx, notice_store, company_store)
+
+            state, (metrics, aux) = jax.lax.scan(body, state, pair_idx_stack)
+            return window_update(state, aux), metrics
+
+        return steps_fn
+
+    n_inner, batch_size = sampled
+
+    def steps_fn(state, sample_key, pairs_dev, notice_store, company_store):
+        n_pairs = pairs_dev.shape[0]
+
+        def body(carry, _):
+            key = jax.random.fold_in(sample_key, carry.step)
+            rows = jax.random.randint(key, (batch_size,), 0, n_pairs)
+            pair_idx = jnp.take(pairs_dev, rows, axis=0)
+            return body_of(carry, pair_idx, notice_store, company_store)
+
+        state, (metrics, aux) = jax.lax.scan(body, state, None, length=n_inner)
+        return window_update(state, aux), metrics
 
     return steps_fn
+
+
+def make_sampled_deferred_sparse_steps(
+    model: TwoTowerModel,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    total_steps: int,
+    n_inner: int,
+    batch_size: int,
+    *,
+    donate: bool = True,
+):
+    """Deferred-window sparse training with ON-DEVICE batch sampling: one
+    PRNG key per window, one batched table update per window. Call:
+    steps(state, key, pairs_dev [P, 2], notice_store, company_store)."""
+    steps_fn = deferred_sparse_steps_fn(
+        model, cfg, tx, total_steps, sampled=(n_inner, batch_size)
+    )
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())

@@ -250,16 +250,12 @@ class Trainer:
                     return sampled_steps[k]
 
             elif cfg.sparse_tables:
-                if cfg.sparse_defer_updates:
-                    raise NotImplementedError(
-                        "sample_on_device does not combine with "
-                        "sparse_defer_updates (per-step updates are the "
-                        "sampled default — train/sparse_tables.py)"
-                    )
                 if self.mesh is not None:
                     # mesh sparse sampled: global batch drawn on-mesh, same
                     # row-sharded-table/store layout as the host-fed step
-                    # (parallel/sharded_sparse.make_sharded_sampled_sparse)
+                    # (parallel/sharded_sparse.make_sharded_sampled_sparse);
+                    # sparse_defer_updates composes (one batched table
+                    # update per key-fed window)
                     from jodalrob_twotower_tpu.parallel.mesh import replicated
                     from jodalrob_twotower_tpu.parallel.sharded_sparse import (
                         make_sharded_sampled_sparse,
@@ -273,6 +269,19 @@ class Trainer:
                             sampled_steps[k], _ = make_sharded_sampled_sparse(
                                 self.model, cfg, self.mesh, state, k, b,
                                 total_steps,
+                                defer_updates=cfg.sparse_defer_updates,
+                            )
+                        return sampled_steps[k]
+
+                elif cfg.sparse_defer_updates:
+                    from jodalrob_twotower_tpu.train.sparse_tables import (
+                        make_sampled_deferred_sparse_steps,
+                    )
+
+                    def sampled_fn(k: int) -> Callable:
+                        if k not in sampled_steps:
+                            sampled_steps[k] = make_sampled_deferred_sparse_steps(
+                                self.model, cfg, tx, total_steps, k, b
                             )
                         return sampled_steps[k]
 

@@ -281,6 +281,88 @@ def test_deferred_window_of_one_matches_per_step(unique_id_dataset):
         )
 
 
+def test_sampled_deferred_matches_hostfed_deferred(tiny_dataset):
+    """make_sampled_deferred_sparse_steps: the window's step-folded draws,
+    replayed host-side through the host-fed deferred scan, give identical
+    losses and tables — and the same key replays bitwise."""
+    from jodalrob_twotower_tpu.train.sparse_tables import (
+        make_deferred_sparse_steps,
+        make_sampled_deferred_sparse_steps,
+    )
+
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    b, w = 64, 3
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+    n_store, c_store = device_store(ds.notice_store), device_store(ds.company_store)
+    pairs_dev = jnp.asarray(ds.pairs.astype(np.int32))
+    key = jax.random.PRNGKey(13)
+
+    s1, tx1 = create_sparse_train_state(
+        model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100
+    )
+    sampled = make_sampled_deferred_sparse_steps(
+        model, _CFG, tx1, 100, w, b, donate=False
+    )
+    s1_out, m1 = sampled(s1, key, pairs_dev, n_store, c_store)
+    assert int(s1_out.step) == w
+
+    # replay the draws host-side through the host-fed deferred window
+    s2, tx2 = create_sparse_train_state(
+        model, _CFG, jax.random.PRNGKey(_CFG.seed), batch, 100
+    )
+    idx = np.stack([
+        np.asarray(ds.pairs.astype(np.int32))[
+            np.asarray(jax.random.randint(
+                jax.random.fold_in(key, i), (b,), 0, len(ds.pairs)))
+        ]
+        for i in range(w)
+    ])
+    hostfed = make_deferred_sparse_steps(model, _CFG, tx2, 100, w, donate=False)
+    s2_out, m2 = hostfed(s2, jnp.asarray(idx), n_store, c_store)
+
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6
+    )
+    for side in ("notice_table", "company_table"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1_out, side).table),
+            np.asarray(getattr(s2_out, side).table),
+            rtol=1e-6, atol=1e-7,
+        )
+    # determinism
+    _, m3 = sampled(s1, key, pairs_dev, n_store, c_store)
+    np.testing.assert_array_equal(np.asarray(m1["loss"]), np.asarray(m3["loss"]))
+
+
+def test_sharded_sampled_deferred_runs(tiny_dataset):
+    """Mesh variant: make_sharded_sampled_sparse(defer_updates=True)
+    runs on the 8-device mesh, advances, and stays finite."""
+    from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+    from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+        make_sharded_sampled_sparse,
+        make_sharded_sparse_train,
+    )
+
+    ds = tiny_dataset
+    model = TwoTowerModel(ds.schema, _CFG.model)
+    b, w = 64, 2
+    batch = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:b])
+    mesh = make_mesh(jax.devices()[:8])
+    state, _, _, put_store = make_sharded_sparse_train(model, _CFG, mesh, batch, 100)
+    steps, put_pairs = make_sharded_sampled_sparse(
+        model, _CFG, mesh, state, w, b, 100, defer_updates=True
+    )
+    n_store = put_store(device_store(ds.notice_store))
+    c_store = put_store(device_store(ds.company_store))
+    state, m = steps(
+        state, jax.random.PRNGKey(3), put_pairs(ds.pairs.astype(np.int32)),
+        n_store, c_store,
+    )
+    assert int(state.step) == w
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+
+
 def test_deferred_updates_learn(tiny_dataset):
     """Windowed (stale-within-window) table updates still learn the planted
     clusters; tables actually change once per window."""

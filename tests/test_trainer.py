@@ -102,12 +102,23 @@ def test_sample_on_device_rejects_streaming_and_sparse(tiny_dataset, tmp_path):
         trainer.train(tr, va, batch_source=lambda e: iter([tr[:64]]),
                       steps_per_epoch=4, corpus_eval=False)
 
-    defer_trainer = Trainer(
-        cfg.replace(sparse_tables=True, sparse_defer_updates=True),
-        ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None,
+def test_sample_on_device_sparse_deferred(tiny_dataset, tmp_path):
+    """Sampled x deferred sparse (one key per window, one batched table
+    update per window — the fastest 10M config, key-fed): trains and
+    learns on the Trainer surface."""
+    ds = tiny_dataset
+    cfg = _cfg(tmp_path, epochs=2).replace(
+        data=DataConfig(batch_size=64, sample_on_device=True),
+        sparse_tables=True,
+        sparse_defer_updates=True,
     )
-    with pytest.raises(NotImplementedError, match="sparse_defer_updates"):
-        defer_trainer.train(tr, va, corpus_eval=False)
+    trainer = Trainer(
+        cfg, ds.schema, ds.notice_store, ds.company_store, log_fn=lambda s: None
+    )
+    tr, va = ds.split(0.2, seed=0)
+    result = trainer.train(tr, va, n_inner=6, corpus_eval=False)
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+    assert np.isfinite(result.final_val["loss"])
 
 
 def test_sample_on_device_sparse_mesh(tiny_dataset, tmp_path):
