@@ -41,3 +41,18 @@ class PairBatch(NamedTuple):
     @property
     def batch_size(self) -> int:
         return self.notice.batch_size
+
+
+def default_tower_gather(store, rows) -> TowerBatch:
+    """The canonical device-resident batch assembly: plain row gathers from
+    a (dense [N, D], cat_ids [N, K]) store tuple. The ONE implementation of
+    this contract — the indexed train/eval steps and the compressed-DP step
+    all use it; row-sharded stores swap in the explicit exchange
+    (parallel/sharded_store.make_tower_batch_gather) instead."""
+    import jax.numpy as jnp
+
+    dense, cat = store
+    return TowerBatch(
+        dense=jnp.take(dense, rows, axis=0),
+        cat_ids=jnp.take(cat, rows, axis=0),
+    )

@@ -57,7 +57,10 @@ class Evaluator:
         self._eval_step = make_eval_step(model, cfg)
         self._encode_notice = make_encode_fn(model, "notice")
         self._encode_company = make_encode_fn(model, "company")
-        self._indexed_eval = None  # built lazily (train_step.make_indexed_eval_steps)
+        # built lazily (train_step.make_indexed_eval_steps), keyed on the
+        # gather flavor like _dev_encoders — a take-compiled program must
+        # never serve a rows-sharded store (and vice versa)
+        self._indexed_eval: dict = {}
         self._dev_encoders: dict = {}
 
     def evaluate(self, state, batches: Iterable[PairBatch]) -> dict[str, float]:
@@ -102,8 +105,7 @@ class Evaluator:
         exact small-set eval). ``put_idx`` overrides the index placement
         (mesh runs pass a replicated put so the jit sees consistently
         placed inputs); ``store_gather`` plugs the explicit cross-shard
-        exchange for ROW-SHARDED stores (must be passed consistently
-        across calls — the compiled steps are cached on first use)."""
+        exchange for ROW-SHARDED stores."""
         from jodalrob_twotower_tpu.train.train_step import (
             make_indexed_eval_steps,
         )
@@ -111,10 +113,12 @@ class Evaluator:
         n_batches = len(pairs) // batch_size
         if n_batches == 0:
             return {}
-        if self._indexed_eval is None:
-            self._indexed_eval = make_indexed_eval_steps(
+        cache_key = store_gather is not None
+        if cache_key not in self._indexed_eval:
+            self._indexed_eval[cache_key] = make_indexed_eval_steps(
                 self.model, self.cfg, store_gather=store_gather
             )
+        indexed_eval = self._indexed_eval[cache_key]
         put = put_idx if put_idx is not None else jax.device_put
         idx = pairs[: n_batches * batch_size].astype(np.int32).reshape(
             n_batches, batch_size, 2
@@ -133,7 +137,7 @@ class Evaluator:
             # for the overlapping final stack keep only the uncovered tail
             prev_end = starts[i - 1] + stack if i else 0
             keep = start + stack - max(prev_end, start)
-            m = self._indexed_eval(
+            m = indexed_eval(
                 state, put(idx[start : start + stack]), notice_store,
                 company_store,
             )

@@ -38,9 +38,11 @@ def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
             ShardedDenseGradLookup,
         )
 
+        from jodalrob_twotower_tpu.models.embedding import resolve_lookup_mode
+
         lookup_fn = ShardedDenseGradLookup(
             mesh,
             forced=cfg.model.embedding_grad == "dense",
-            lookup_mode=getattr(cfg.model, "embedding_lookup", "auto"),
+            lookup_mode=resolve_lookup_mode(cfg.model),
         )
     return TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup, lookup_fn)

@@ -51,6 +51,20 @@ def absolute_rows(vocab_sizes: tuple[int, ...], cat_ids) -> "jax.Array":
     return ids + jnp.asarray(offsets)[None, :]
 
 
+def resolve_lookup_mode(model_cfg) -> str:
+    """``ModelConfig.embedding_lookup`` with the dtype gate applied: "auto"
+    demotes to "gather" when ``compute_dtype != bfloat16`` — the one-hot
+    kernel emits bf16 activations (and takes the bf16 dense-grad backward),
+    which is numerically free exactly when the towers already compute in
+    bf16; an explicitly-f32 config keeps its exact f32 gather across the
+    upgrade. "onehot" stays forced (the user opted into bf16 activations).
+    """
+    mode = getattr(model_cfg, "embedding_lookup", "auto")
+    if mode == "auto" and getattr(model_cfg, "compute_dtype", "bfloat16") != "bfloat16":
+        return "gather"
+    return mode
+
+
 def tile_feature_map(vocab_sizes: tuple[int, ...], row_alignment: int = ROW_ALIGNMENT):
     """Static map tile_index -> owning feature for the aligned layout."""
     out = []
@@ -143,25 +157,39 @@ class EmbeddingCollection(nn.Module):
     DENSE_GRAD_MAX_ROWS = 1 << 16
 
     def _onehot_lookup_active(self) -> bool:
-        """config.ModelConfig.embedding_lookup resolution. MEASURED on the
-        chip (BENCHMARKS.md round 4): the one-hot MXU forward beats the
-        row-DMA gather in-step — 2.08 vs 2.66 ms/step at the flagship
+        """config.ModelConfig.embedding_lookup resolution (the caller has
+        already applied :func:`resolve_lookup_mode`'s dtype gate). MEASURED
+        on the chip (BENCHMARKS.md round 4): the one-hot MXU forward beats
+        the row-DMA gather in-step — 2.08 vs 2.66 ms/step at the flagship
         shape (B=8192, K=32, 33k rows), selftest-verified bit-exact — so
         "auto" resolves to the kernel wherever the dense-grad regime
         holds: single-device TPU, table within the dense envelope, and a
         grad mode that keeps the matching one-hot backward. "gather"
-        forces the row-DMA path; "onehot" forces the kernel (interpret on
-        CPU)."""
+        forces the row-DMA path. "onehot" FORCES the kernel (interpret on
+        CPU) and raises loudly where it cannot run, instead of silently
+        reverting."""
         if self.lookup_mode == "gather":
             return False
-        small = (
+        if self.lookup_mode == "onehot":
+            if self._total_rows > self.DENSE_GRAD_MAX_ROWS:
+                raise ValueError(
+                    f"embedding_lookup='onehot' forced but the unified "
+                    f"table ({self._total_rows} rows) exceeds the dense "
+                    f"one-hot envelope ({self.DENSE_GRAD_MAX_ROWS}) — its "
+                    "cost grows with rows x batch; use 'auto' or 'gather'"
+                )
+            if jax.device_count() > 1 and jax.default_backend() != "cpu":
+                raise ValueError(
+                    "embedding_lookup='onehot' forced on a multi-device "
+                    "TPU backend without a mesh lookup_fn — GSPMD cannot "
+                    "partition the Pallas call; use "
+                    "embedding_sharding='replicated' "
+                    "(ShardedDenseGradLookup carries the kernel) or 'auto'"
+                )
+            return True
+        return (
             jax.device_count() == 1
             and self._total_rows <= self.DENSE_GRAD_MAX_ROWS
-        )
-        if self.lookup_mode == "onehot":
-            return small
-        return (
-            small
             and jax.default_backend() not in ("cpu",)
             and self.grad_mode != "scatter"
             and self.embed_dim % 8 == 0

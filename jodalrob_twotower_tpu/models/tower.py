@@ -21,7 +21,10 @@ import jax.numpy as jnp
 
 from jodalrob_twotower_tpu.config import ModelConfig
 from jodalrob_twotower_tpu.data.types import TowerBatch
-from jodalrob_twotower_tpu.models.embedding import EmbeddingCollection
+from jodalrob_twotower_tpu.models.embedding import (
+    EmbeddingCollection,
+    resolve_lookup_mode,
+)
 from jodalrob_twotower_tpu.schema import SideSchema
 
 
@@ -84,7 +87,7 @@ class Tower(nn.Module):
                 use_pallas=self.use_pallas_lookup,
                 lookup_fn=self.lookup_fn,
                 grad_mode=cfg.embedding_grad,
-                lookup_mode=getattr(cfg, "embedding_lookup", "auto"),
+                lookup_mode=resolve_lookup_mode(cfg),
                 name="embeddings",
             )(batch.cat_ids)
             parts.append(emb.astype(compute_dtype))

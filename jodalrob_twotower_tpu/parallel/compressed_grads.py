@@ -259,7 +259,6 @@ def make_dp_compressed_indexed_train(
     example_batch,
     total_steps: int,
     *,
-    n_inner: int = 8,
     method: str = "int16",
 ) -> CompressedDPTrain:
     """Compressed-DP over DEVICE-RESIDENT stores — the Trainer production
@@ -268,10 +267,12 @@ def make_dp_compressed_indexed_train(
     Same wire/error-feedback machinery as
     :func:`make_dp_compressed_train_step`, lifted to the indexed hot path:
     stores replicated in HBM, only [.., B, 2] indices (or one PRNG key) per
-    dispatch, ``n_inner`` steps scanned per dispatch. Loss semantics are
-    LOCAL in-batch negatives per shard (the reference's per-GPU semantics,
-    two_tower_train_task.py:99-134 — see module docstring; the
-    GSPMD/fused path keeps global negatives when compression is off).
+    dispatch; ``scan_steps`` runs one inner step per leading idx-stack row
+    (the Trainer's n_inner) and ``make_sampled(k)`` draws k steps per
+    dispatch. Loss semantics are LOCAL in-batch negatives per shard (the
+    reference's per-GPU semantics, two_tower_train_task.py:99-134 — see
+    module docstring; the GSPMD/fused path keeps global negatives when
+    compression is off).
     """
     from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
     from jodalrob_twotower_tpu.train.train_step import (
@@ -279,7 +280,7 @@ def make_dp_compressed_indexed_train(
         _forward_loss,
         create_train_state,
     )
-    from jodalrob_twotower_tpu.data.types import PairBatch, TowerBatch
+    from jodalrob_twotower_tpu.data.types import PairBatch, default_tower_gather
 
     axis = DATA_AXIS
     n_shards = mesh.shape[axis]
@@ -303,12 +304,7 @@ def make_dp_compressed_indexed_train(
         state.params,
     )
 
-    def gather(store, rows):
-        dense, cat = store
-        return TowerBatch(
-            dense=jnp.take(dense, rows, axis=0),
-            cat_ids=jnp.take(cat, rows, axis=0),
-        )
+    gather = default_tower_gather
 
     def local_step(state, err, idx, n_store, c_store, with_metrics):
         """One step on this shard's [B/n, 2] slice; err WITHOUT device dim."""

@@ -101,12 +101,24 @@ class ShardedDenseGradLookup:
     def __call__(self, table, rows, *, total_rows: int, tile_feature: tuple):
         if total_rows > self.max_rows and not self.forced:
             return jnp.take(table, rows, axis=0)  # XLA scatter backward
-        key = (total_rows, tile_feature)
+        # the one-hot FORWARD needs (a) the dense envelope even when the
+        # BACKWARD is forced (its cost grows with rows x batch — forced
+        # 'dense' only promises the kernel backward) and (b) a batch that
+        # divides the mesh axis (the fwd shard_map splits rows over it;
+        # eval/corpus-encode chunks of arbitrary size keep the plain take
+        # forward the old code always had)
+        n_shards = self.mesh.shape[self.axis]
+        use_onehot = (
+            self.onehot_forward
+            and total_rows <= self.max_rows
+            and rows.shape[0] % max(n_shards, 1) == 0
+        )
+        key = (total_rows, tile_feature, use_onehot)
         if key not in self._cache:
-            self._cache[key] = self._build(total_rows, tile_feature)
+            self._cache[key] = self._build(total_rows, tile_feature, use_onehot)
         return self._cache[key](table, rows)
 
-    def _build(self, total_rows: int, tile_feature: tuple):
+    def _build(self, total_rows: int, tile_feature: tuple, use_onehot: bool):
         from jodalrob_twotower_tpu.ops.embedding_grad import (
             dense_table_grad_t,
             dense_table_lookup_t,
@@ -132,7 +144,7 @@ class ShardedDenseGradLookup:
             check_vma=False,  # pallas out_shapes carry no vma annotation
         )
 
-        if self.onehot_forward:
+        if use_onehot:
             # forward as the one-hot MXU kernel per shard: the replicated
             # table streams once per shard, each shard emits its own
             # [b_local, K, D] batch rows — same math distribution as the

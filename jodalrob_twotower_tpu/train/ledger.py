@@ -66,7 +66,13 @@ def append_result(
     train_loss: float | None = None,
     notes: str = "",
 ) -> dict:
-    """Append one run row; creates the file with a header when absent."""
+    """Append one run row; creates the file with a header when absent.
+
+    Appends to a PRE-EXISTING file conform to THAT file's header: new
+    metric columns added since the file was created (e.g. round 4's
+    z_gap) are dropped rather than silently shifting every value one
+    column over — the header is only ever written once, so schema drift
+    must bend to the file, not corrupt it."""
     path = Path(path)
     row = {f: "" for f in FIELDS}
     row["timestamp"] = datetime.datetime.now().isoformat(timespec="seconds")
@@ -80,12 +86,18 @@ def append_result(
         field = _METRIC_TO_FIELD.get(k)
         if field:
             row[field] = f"{float(v):.6f}"
+    fields = FIELDS
     exists = path.exists()
+    if exists:
+        with path.open(newline="") as fh:
+            header = fh.readline().strip()
+        if header:
+            fields = header.split(",")
     with path.open("a", newline="") as fh:
-        writer = csv.DictWriter(fh, fieldnames=FIELDS)
+        writer = csv.DictWriter(fh, fieldnames=fields, extrasaction="ignore")
         if not exists:
             writer.writeheader()
-        writer.writerow(row)
+        writer.writerow({k: v for k, v in row.items() if k in fields})
     return row
 
 

@@ -247,16 +247,10 @@ def make_indexed_train_step(
     explicit cross-shard exchange. The gather sits outside autodiff either
     way (stores are inputs, not parameters).
     """
+    from jodalrob_twotower_tpu.data.types import default_tower_gather
+
     sharded_ce = make_sharded_ce(cfg, mesh)
-
-    def default_gather(store, rows):
-        dense, cat = store
-        return TowerBatch(
-            dense=jnp.take(dense, rows, axis=0),
-            cat_ids=jnp.take(cat, rows, axis=0),
-        )
-
-    gather = store_gather if store_gather is not None else default_gather
+    gather = store_gather if store_gather is not None else default_tower_gather
 
     def step_fn(state: TrainState, pair_idx, notice_store, company_store):
         batch = PairBatch(
@@ -466,16 +460,10 @@ def make_indexed_eval_steps(
     exchange (parallel/sharded_store.make_tower_batch_gather), keeping
     device-resident eval for exactly the stores too big to replicate.
     """
+    from jodalrob_twotower_tpu.data.types import default_tower_gather
+
     eval_core = make_eval_step(model, cfg, jit=False)
-
-    def default_gather(store, rows):
-        dense, cat = store
-        return TowerBatch(
-            dense=jnp.take(dense, rows, axis=0),
-            cat_ids=jnp.take(cat, rows, axis=0),
-        )
-
-    gather = store_gather if store_gather is not None else default_gather
+    gather = store_gather if store_gather is not None else default_tower_gather
 
     def steps_fn(state: TrainState, idx_stack, notice_store, company_store):
         def body(carry, pair_idx):

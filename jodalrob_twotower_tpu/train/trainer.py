@@ -142,7 +142,7 @@ class Trainer:
 
             compressed = make_dp_compressed_indexed_train(
                 self.model, cfg, self.mesh, example, total_steps,
-                n_inner=n_inner, method=cfg.mesh.grad_compression,
+                method=cfg.mesh.grad_compression,
             )
             state, tx = compressed.state, compressed.tx
             put_idx, put_store = compressed.put_idx, compressed.put_store

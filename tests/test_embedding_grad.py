@@ -179,8 +179,10 @@ def test_onehot_lookup_custom_vjp(rng):
 
 
 def test_onehot_lookup_mode_plumbing():
-    """ModelConfig.embedding_lookup='onehot' routes the module through the
-    kernel (interpret on CPU) and matches the gather path's output."""
+    """ModelConfig.embedding_lookup='onehot' FORCES the kernel (interpret
+    on CPU — the bf16 output proves the kernel path actually ran, not the
+    silent gather fallback the first cut had) and matches the bf16 gather
+    bit-exactly; oversized tables are rejected loudly."""
     from jodalrob_twotower_tpu.models.embedding import EmbeddingCollection
 
     vocabs = (30, 40)
@@ -188,18 +190,47 @@ def test_onehot_lookup_mode_plumbing():
     emb_g = EmbeddingCollection(vocab_sizes=vocabs, embed_dim=8)
     variables = emb_g.init(jax.random.PRNGKey(0), ids)
     out_g = emb_g.apply(variables, ids)
+    assert out_g.dtype == jnp.float32  # gather passes the f32 table through
     emb_o = EmbeddingCollection(
         vocab_sizes=vocabs, embed_dim=8, lookup_mode="onehot"
     )
     out_o = emb_o.apply(variables, ids)
-    np.testing.assert_allclose(
-        np.asarray(out_o, np.float32), np.asarray(out_g, np.float32),
-        rtol=1e-2, atol=1e-2,  # bf16 activation vs f32 gather output
+    assert out_o.dtype == jnp.bfloat16  # the kernel ran
+    np.testing.assert_array_equal(
+        np.asarray(out_o, np.float32),
+        np.asarray(out_g.astype(jnp.bfloat16), np.float32),
     )
+    # forced + table beyond the dense envelope: loud error, never a
+    # silent fallback
+    emb_big = EmbeddingCollection(
+        vocab_sizes=(70_000,), embed_dim=8, lookup_mode="onehot"
+    )
+    big_ids = jnp.zeros((4, 1), jnp.int32)
+    with pytest.raises(ValueError, match="envelope"):
+        emb_big.init(jax.random.PRNGKey(0), big_ids)
     from jodalrob_twotower_tpu.config import ModelConfig
 
     with pytest.raises(ValueError, match="embedding_lookup"):
         ModelConfig(embedding_lookup="magic")
+
+
+def test_resolve_lookup_mode_dtype_gate():
+    """'auto' demotes to 'gather' for explicitly-f32 configs (the kernel
+    emits bf16 activations — free only under bf16 compute); bf16 keeps
+    auto; forced 'onehot' passes through."""
+    from jodalrob_twotower_tpu.config import ModelConfig
+    from jodalrob_twotower_tpu.models.embedding import resolve_lookup_mode
+
+    assert resolve_lookup_mode(ModelConfig()) == "auto"
+    assert (
+        resolve_lookup_mode(ModelConfig(compute_dtype="float32")) == "gather"
+    )
+    assert (
+        resolve_lookup_mode(
+            ModelConfig(compute_dtype="float32", embedding_lookup="onehot")
+        )
+        == "onehot"
+    )
 
 
 @pytest.mark.parametrize("b,k,d", [(256, 4, 32), (100, 3, 16)])

@@ -163,6 +163,28 @@ def test_sharded_onehot_forward_matches_take(mesh, rng):
     assert not plain.onehot_forward
     assert plain(table, rows, total_rows=r, tile_feature=tf).dtype == jnp.float32
 
+    # batch NOT divisible by the mesh axis (eval/corpus-encode chunks):
+    # falls back to the take forward instead of a shard_map crash
+    odd = rows[:5]
+    out_odd = lookup(table, odd, total_rows=r, tile_feature=tf)
+    assert out_odd.dtype == jnp.float32  # take path, not the bf16 kernel
+    np.testing.assert_allclose(
+        np.asarray(out_odd), np.asarray(jnp.take(table, odd, axis=0)), rtol=1e-6
+    )
+
+    # FORCED dense backward + table beyond the envelope: the backward
+    # keeps the kernel but the forward must stay the gather (its cost
+    # grows with rows x batch) — checked via the cache key
+    forced = ShardedDenseGradLookup(
+        mesh, interpret=True, max_rows=8, forced=True, lookup_mode="onehot"
+    )
+    out_forced = forced(table, rows, total_rows=r, tile_feature=tf)
+    assert out_forced.dtype == jnp.float32  # take forward above max_rows
+    np.testing.assert_allclose(
+        np.asarray(out_forced), np.asarray(jnp.take(table, rows, axis=0)),
+        rtol=1e-6,
+    )
+
 
 def test_replicated_dense_grad_train_step_matches_scatter(tiny_dataset, mesh):
     """Sharded train step with embedding_sharding='replicated' (dense-grad

@@ -212,6 +212,35 @@ def test_ledger_written(trained_result):
     assert int(row["num_params"]) == result.num_params
 
 
+def test_ledger_appends_conform_to_legacy_header(tmp_path):
+    """Appending to a CSV created before a schema change (e.g. round 4's
+    z_gap column) must conform to THAT file's header — new columns are
+    dropped, never silently shifted into the wrong columns."""
+    from jodalrob_twotower_tpu.train.ledger import FIELDS
+
+    legacy_fields = [f for f in FIELDS if f != "z_gap"]
+    path = tmp_path / "legacy.csv"
+    path.write_text(",".join(legacy_fields) + "\n")
+    append_result(
+        path,
+        run_info={"batch_size": 64, "examples_per_sec": "123"},
+        val_metrics={"loss": 1.5, "z_gap": 42.0, "similarity_gap": 0.3},
+        train_loss=2.0,
+    )
+    rows = read_results(path)
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["examples_per_sec"] == "123"  # NOT z_gap's 42.0
+    assert float(row["similarity_gap"]) == pytest.approx(0.3)
+    assert "z_gap" not in row or row.get("z_gap") in (None, "")
+    # a fresh file carries the full current schema including z_gap
+    fresh = tmp_path / "fresh.csv"
+    append_result(
+        fresh, run_info={}, val_metrics={"z_gap": 42.0}, train_loss=1.0
+    )
+    assert float(read_results(fresh)[0]["z_gap"]) == pytest.approx(42.0)
+
+
 def test_checkpoints_and_restore(trained_result):
     tmp, cfg, ds, trainer, result = trained_result
     ckpt = CheckpointManager(tmp / "ckpt", cfg.checkpoint)
@@ -484,4 +513,7 @@ def test_indexed_eval_single_compiled_signature(tiny_dataset):
     out = ev.evaluate_indexed(state, ds.pairs[: 11 * 32], n_store, c_store,
                               batch_size=32, stack=4)
     assert out["num_batches"] == 11.0
-    assert ev._indexed_eval._cache_size() == 1
+    # one gather flavor (plain take) -> one jitted fn -> ONE compiled
+    # signature despite the overlapping tail stack
+    assert set(ev._indexed_eval) == {False}
+    assert ev._indexed_eval[False]._cache_size() == 1
