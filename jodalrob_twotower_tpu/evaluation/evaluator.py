@@ -113,7 +113,19 @@ class Evaluator:
         n_batches = len(pairs) // batch_size
         if n_batches == 0:
             return {}
-        cache_key = store_gather is not None
+        multiple = (
+            getattr(store_gather, "batch_multiple", 1)
+            if store_gather is not None else 1
+        )
+        if batch_size % multiple:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of the "
+                f"row-sharded store's mesh axis ({multiple}) — the eval "
+                "batch is split over it by the cross-shard exchange"
+            )
+        # cache on the GATHER ITSELF (a bool would collide two different
+        # meshes'/axes' compiled exchanges)
+        cache_key = store_gather
         if cache_key not in self._indexed_eval:
             self._indexed_eval[cache_key] = make_indexed_eval_steps(
                 self.model, self.cfg, store_gather=store_gather
@@ -174,7 +186,14 @@ class Evaluator:
 
         store_rows = store[0].shape[0]
         chunk = min(chunk, store_rows)
-        key = (side, chunk, store_gather is not None)
+        if store_gather is not None:
+            # the exchange splits the chunk over the mesh axis: round the
+            # chunk DOWN to a multiple (store_rows is padded to one, so
+            # min() above already is when it binds)
+            multiple = getattr(store_gather, "batch_multiple", 1)
+            if multiple > 1:
+                chunk = max(chunk - chunk % multiple, multiple)
+        key = (side, chunk, store_gather)  # gather identity, not a bool
         if key not in self._dev_encoders:
             self._dev_encoders[key] = make_device_encode_fn(
                 self.model, side, chunk, store_gather=store_gather

@@ -178,6 +178,12 @@ class EmbeddingCollection(nn.Module):
                     f"one-hot envelope ({self.DENSE_GRAD_MAX_ROWS}) — its "
                     "cost grows with rows x batch; use 'auto' or 'gather'"
                 )
+            if self.embed_dim % 8:
+                raise ValueError(
+                    f"embedding_lookup='onehot' needs embed_dim % 8 == 0 "
+                    f"for TPU sublane tiling; got {self.embed_dim} — use "
+                    "'auto' or 'gather'"
+                )
             if jax.device_count() > 1 and jax.default_backend() != "cpu":
                 raise ValueError(
                     "embedding_lookup='onehot' forced on a multi-device "

@@ -50,6 +50,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated(x, mesh: Mesh):
+    """Place a host array replicated on the mesh — MULTI-PROCESS-safe.
+
+    A plain ``jax.device_put`` to a sharding that spans non-addressable
+    devices raises on multi-process meshes;
+    ``make_array_from_process_local_data`` assembles the global replicated
+    array from each process's (identical) local copy instead. Single
+    process keeps the cheap direct put."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard dim 0 (embedding-table rows / rowwise optimizer state)."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

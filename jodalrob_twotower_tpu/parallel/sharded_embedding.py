@@ -112,6 +112,9 @@ class ShardedDenseGradLookup:
             self.onehot_forward
             and total_rows <= self.max_rows
             and rows.shape[0] % max(n_shards, 1) == 0
+            # sublane-tiling envelope — same gate as the single-device auto
+            # path (models/embedding.py _onehot_lookup_active)
+            and table.shape[1] % 8 == 0
         )
         key = (total_rows, tile_feature, use_onehot)
         if key not in self._cache:

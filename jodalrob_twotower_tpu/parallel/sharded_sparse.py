@@ -226,6 +226,8 @@ def make_sharded_sampled_sparse(
     )
 
     def put_pairs(pairs):
-        return jax.device_put(pairs, rep)
+        from jodalrob_twotower_tpu.parallel.mesh import put_replicated
+
+        return put_replicated(pairs, mesh)
 
     return steps, put_pairs

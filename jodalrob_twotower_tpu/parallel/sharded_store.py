@@ -152,4 +152,7 @@ def make_tower_batch_gather(mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
         dense, cat = store
         return TowerBatch(dense=gather(dense, rows), cat_ids=gather(cat, rows))
 
+    # consumers (evaluator chunking / batch-size validation) read the
+    # divisibility the exchange imposes from the gather itself
+    store_gather.batch_multiple = mesh.shape[axis]
     return store_gather

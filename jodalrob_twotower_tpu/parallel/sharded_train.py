@@ -255,6 +255,8 @@ def make_sharded_sampled_steps(
     )
 
     def put_pairs(pairs):
-        return jax.device_put(pairs, rep)
+        from jodalrob_twotower_tpu.parallel.mesh import put_replicated
+
+        return put_replicated(pairs, mesh)
 
     return sampled_steps, put_pairs

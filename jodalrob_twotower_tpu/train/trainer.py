@@ -136,6 +136,14 @@ class Trainer:
                     "(its explicit shard_map step feeds each shard the full "
                     "stores)"
                 )
+            if cfg.model.embedding_lookup == "onehot":
+                raise ValueError(
+                    "grad_compression uses the plain per-shard gather "
+                    "inside its explicit shard_map step (build_model "
+                    "installs no mesh lookup_fn in this mode) — "
+                    "embedding_lookup='onehot' cannot be honored; use "
+                    "'auto' or 'gather'"
+                )
             from jodalrob_twotower_tpu.parallel.compressed_grads import (
                 make_dp_compressed_indexed_train,
             )
@@ -231,10 +239,9 @@ class Trainer:
                     "it is incompatible with streaming batch sources"
                 )
             if compressed is not None:
-                from jodalrob_twotower_tpu.parallel.mesh import replicated
+                from jodalrob_twotower_tpu.parallel.mesh import put_replicated
 
-                rep = replicated(self.mesh)
-                put_pairs = lambda p: jax.device_put(p, rep)  # noqa: E731
+                put_pairs = lambda p: put_replicated(p, self.mesh)  # noqa: E731
 
                 def sampled_fn(k: int) -> Callable:
                     if k not in sampled_steps:
@@ -256,13 +263,12 @@ class Trainer:
                     # (parallel/sharded_sparse.make_sharded_sampled_sparse);
                     # sparse_defer_updates composes (one batched table
                     # update per key-fed window)
-                    from jodalrob_twotower_tpu.parallel.mesh import replicated
+                    from jodalrob_twotower_tpu.parallel.mesh import put_replicated
                     from jodalrob_twotower_tpu.parallel.sharded_sparse import (
                         make_sharded_sampled_sparse,
                     )
 
-                    rep = replicated(self.mesh)
-                    put_pairs = lambda p: jax.device_put(p, rep)  # noqa: E731
+                    put_pairs = lambda p: put_replicated(p, self.mesh)  # noqa: E731
 
                     def sampled_fn(k: int) -> Callable:
                         if k not in sampled_steps:
@@ -298,14 +304,13 @@ class Trainer:
                         return sampled_steps[k]
 
             elif self.mesh is not None:
-                from jodalrob_twotower_tpu.parallel.mesh import replicated
+                from jodalrob_twotower_tpu.parallel.mesh import put_replicated
                 from jodalrob_twotower_tpu.parallel.sharded_train import (
                     make_sharded_sampled_steps,
                 )
 
                 state_sh = jax.tree.map(lambda x: x.sharding, state)
-                rep = replicated(self.mesh)
-                put_pairs = lambda p: jax.device_put(p, rep)  # noqa: E731
+                put_pairs = lambda p: put_replicated(p, self.mesh)  # noqa: E731
 
                 def sampled_fn(k: int) -> Callable:
                     if k not in sampled_steps:
@@ -406,18 +411,11 @@ class Trainer:
         self._eval_put_idx = None
         self._eval_store_gather = None
         if self.mesh is not None:
-            from jodalrob_twotower_tpu.parallel.mesh import replicated
+            from jodalrob_twotower_tpu.parallel.mesh import put_replicated
 
-            rep_eval = replicated(self.mesh)
-
-            def _eval_put(x):
-                if jax.process_count() > 1:
-                    # every process holds the same full idx array (same
-                    # pairs + seed); declare it replicated
-                    return jax.make_array_from_process_local_data(rep_eval, x)
-                return jax.device_put(x, rep_eval)
-
-            self._eval_put_idx = _eval_put
+            # every process holds the same full idx array (same pairs +
+            # seed); place it replicated, multi-process-safe
+            self._eval_put_idx = lambda x: put_replicated(x, self.mesh)
             if cfg.mesh.store_sharding == "rows":
                 from jodalrob_twotower_tpu.parallel.sharded_store import (
                     make_tower_batch_gather,
@@ -670,7 +668,7 @@ class Trainer:
                 device_store(self.company_store, dtype=store_dt),
             )
             return
-        from jodalrob_twotower_tpu.parallel.mesh import replicated
+        from jodalrob_twotower_tpu.parallel.mesh import put_replicated
         from jodalrob_twotower_tpu.parallel.sharded_store import (
             make_tower_batch_gather,
             resolve_store_placement,
@@ -688,8 +686,7 @@ class Trainer:
             put_store(_host(self.notice_store)),
             put_store(_host(self.company_store)),
         )
-        rep = replicated(self.mesh)
-        self._eval_put_idx = lambda x: jax.device_put(x, rep)
+        self._eval_put_idx = lambda x: put_replicated(x, self.mesh)
         if self.cfg.mesh.store_sharding == "rows":
             self._eval_store_gather = make_tower_batch_gather(self.mesh)
 

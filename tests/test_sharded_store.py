@@ -221,6 +221,80 @@ def test_prepare_device_eval_mesh_rows(tiny_dataset):
     np.testing.assert_allclose(dev["accuracy"], host["accuracy"], atol=1e-6)
 
 
+def test_device_encode_rows_chunk_not_multiple(tiny_dataset):
+    """encode_corpus_device over a rows-sharded store rounds a chunk that
+    does not divide the mesh axis DOWN to a multiple instead of tripping
+    the exchange's divisibility error (review pass 2, finding 5)."""
+    import jax.numpy as jnp
+
+    from jodalrob_twotower_tpu.evaluation.evaluator import Evaluator
+    from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        make_tower_batch_gather,
+        put_row_sharded_store,
+    )
+    from jodalrob_twotower_tpu.train.train_step import create_train_state
+
+    ds = tiny_dataset
+    cfg = _cfg(store_sharding="rows")
+    mesh = make_mesh(jax.devices()[:8])
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:32])
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), example, 10)
+    from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+    state = jax.device_put(state, jax.tree.map(lambda _: replicated(mesh), state))
+    gather = make_tower_batch_gather(mesh)
+    assert gather.batch_multiple == 8
+    store = put_row_sharded_store(
+        (np.asarray(ds.company_store.dense), np.asarray(ds.company_store.cat_ids)),
+        mesh,
+    )
+    ev = Evaluator(model, cfg)
+    n = len(ds.company_store)
+    # chunk=100 does not divide 8 -> rounds to 96; result must equal the
+    # host-side whole-store encode
+    emb = ev.encode_corpus_device(
+        state, store, n, side="company", chunk=100, store_gather=gather
+    )
+    ref = ev.encode_corpus(
+        state, ds.company_store.dense, ds.company_store.cat_ids, side="company"
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+    # batch_size not a multiple of the axis: loud error from evaluate_indexed
+    with pytest.raises(ValueError, match="multiple"):
+        ev.evaluate_indexed(
+            state, ds.pairs[:300], store, store, batch_size=30,
+            store_gather=gather,
+        )
+
+
+def test_trainer_rejects_compressed_plus_forced_onehot(tiny_dataset):
+    """grad_compression + embedding_lookup='onehot' is a documented dead
+    end (the compressed shard_map installs no mesh lookup_fn): loud error
+    up front instead of a misleading failure at trace time."""
+    import dataclasses as dc
+
+    from jodalrob_twotower_tpu.config import MeshConfig, ModelConfig
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    ds = tiny_dataset
+    cfg = _cfg()
+    cfg = cfg.replace(
+        model=dc.replace(cfg.model, embedding_lookup="onehot"),
+        mesh=MeshConfig(grad_compression="int16"),
+    )
+    tr, va = ds.split(0.2, seed=0)
+    trainer = Trainer(
+        cfg, ds.schema, ds.notice_store, ds.company_store,
+        mesh=make_mesh(jax.devices()[:8]), log_fn=lambda s: None,
+    )
+    with pytest.raises(ValueError, match="embedding_lookup"):
+        trainer.train(tr, va[:256], corpus_eval=False)
+
+
 def test_trainer_mesh_rows_mode(tiny_dataset, tmp_path):
     """Full Trainer epoch loop over the mesh with row-sharded stores: runs,
     learns, and matches the replicated-mode loss trajectory closely."""

@@ -513,7 +513,7 @@ def test_indexed_eval_single_compiled_signature(tiny_dataset):
     out = ev.evaluate_indexed(state, ds.pairs[: 11 * 32], n_store, c_store,
                               batch_size=32, stack=4)
     assert out["num_batches"] == 11.0
-    # one gather flavor (plain take) -> one jitted fn -> ONE compiled
-    # signature despite the overlapping tail stack
-    assert set(ev._indexed_eval) == {False}
-    assert ev._indexed_eval[False]._cache_size() == 1
+    # one gather flavor (plain take, key None) -> one jitted fn -> ONE
+    # compiled signature despite the overlapping tail stack
+    assert set(ev._indexed_eval) == {None}
+    assert ev._indexed_eval[None]._cache_size() == 1
