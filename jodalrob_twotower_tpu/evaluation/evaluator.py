@@ -123,9 +123,13 @@ class Evaluator:
                 f"row-sharded store's mesh axis ({multiple}) — the eval "
                 "batch is split over it by the cross-shard exchange"
             )
-        # cache on the GATHER ITSELF (a bool would collide two different
-        # meshes'/axes' compiled exchanges)
-        cache_key = store_gather
+        # cache on the gather's SEMANTIC identity (mesh, axis) when it
+        # exports one — a bool would collide two meshes' exchanges, while
+        # raw closure identity would recompile for every rebuilt gather
+        cache_key = (
+            getattr(store_gather, "cache_token", store_gather)
+            if store_gather is not None else None
+        )
         if cache_key not in self._indexed_eval:
             self._indexed_eval[cache_key] = make_indexed_eval_steps(
                 self.model, self.cfg, store_gather=store_gather
@@ -193,7 +197,11 @@ class Evaluator:
             multiple = getattr(store_gather, "batch_multiple", 1)
             if multiple > 1:
                 chunk = max(chunk - chunk % multiple, multiple)
-        key = (side, chunk, store_gather)  # gather identity, not a bool
+        key = (
+            side, chunk,
+            getattr(store_gather, "cache_token", store_gather)
+            if store_gather is not None else None,
+        )  # semantic gather identity (see evaluate_indexed)
         if key not in self._dev_encoders:
             self._dev_encoders[key] = make_device_encode_fn(
                 self.model, side, chunk, store_gather=store_gather

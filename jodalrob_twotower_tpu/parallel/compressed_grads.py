@@ -429,7 +429,9 @@ def make_dp_compressed_indexed_train(
         return jax.device_put(idx, sh)
 
     def put_store(store):
-        return jax.tree.map(lambda x: jax.device_put(x, rep), store)
+        from jodalrob_twotower_tpu.parallel.mesh import put_replicated
+
+        return jax.tree.map(lambda x: put_replicated(x, mesh), store)
 
     return CompressedDPTrain(
         state=state,

@@ -51,13 +51,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def put_replicated(x, mesh: Mesh):
-    """Place a host array replicated on the mesh — MULTI-PROCESS-safe.
+    """Place a host array replicated on the mesh — the ONE replicated-put
+    helper every mesh path uses.
 
-    A plain ``jax.device_put`` to a sharding that spans non-addressable
-    devices raises on multi-process meshes;
-    ``make_array_from_process_local_data`` assembles the global replicated
-    array from each process's (identical) local copy instead. Single
-    process keeps the cheap direct put."""
+    Measured on this JAX version (2-process CPU harness): a plain
+    ``jax.device_put`` to a sharding spanning non-addressable devices DOES
+    work cross-process (it writes each process's addressable shards from
+    the replicated host value). The explicit
+    ``make_array_from_process_local_data`` branch is kept anyway: it is
+    the documented-stable API for assembling global arrays from
+    process-local copies, so the placement does not ride an
+    implementation detail of device_put across JAX upgrades."""
     sh = replicated(mesh)
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sh, np.asarray(x))

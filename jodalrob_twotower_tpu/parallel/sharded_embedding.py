@@ -93,12 +93,29 @@ class ShardedDenseGradLookup:
         )
         self.max_rows = max_rows
         self.forced = forced
+        self.lookup_mode = lookup_mode
         self.onehot_forward = lookup_mode == "onehot" or (
             lookup_mode == "auto" and jax.default_backend() == "tpu"
         )
         self._cache: dict = {}
 
     def __call__(self, table, rows, *, total_rows: int, tile_feature: tuple):
+        if self.lookup_mode == "onehot":
+            # FORCED kernel: reject statically-impossible configs loudly
+            # (the single-device path does the same, models/embedding.py);
+            # per-shape fallbacks below (odd eval chunks) stay silent —
+            # they are bit-exact and shape-local, not config errors
+            if total_rows > self.max_rows:
+                raise ValueError(
+                    f"embedding_lookup='onehot' forced but the unified "
+                    f"table ({total_rows} rows) exceeds the dense one-hot "
+                    f"envelope ({self.max_rows}); use 'auto' or 'gather'"
+                )
+            if table.shape[1] % 8:
+                raise ValueError(
+                    f"embedding_lookup='onehot' needs embed_dim % 8 == 0 "
+                    f"for TPU sublane tiling; got {table.shape[1]}"
+                )
         if total_rows > self.max_rows and not self.forced:
             return jnp.take(table, rows, axis=0)  # XLA scatter backward
         # the one-hot FORWARD needs (a) the dense envelope even when the

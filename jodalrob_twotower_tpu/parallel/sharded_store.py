@@ -134,7 +134,9 @@ def resolve_store_placement(cfg, mesh: Mesh, axis: str = DATA_AXIS):
     rep = NamedSharding(mesh, P())
 
     def put_store(store):
-        return tuple(jax.device_put(x, rep) for x in store)
+        from jodalrob_twotower_tpu.parallel.mesh import put_replicated
+
+        return tuple(put_replicated(x, mesh) for x in store)
 
     return None, (rep, rep), put_store
 
@@ -153,6 +155,11 @@ def make_tower_batch_gather(mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
         return TowerBatch(dense=gather(dense, rows), cat_ids=gather(cat, rows))
 
     # consumers (evaluator chunking / batch-size validation) read the
-    # divisibility the exchange imposes from the gather itself
+    # divisibility the exchange imposes from the gather itself;
+    # cache_token identifies the exchange SEMANTICALLY (mesh + axis) so
+    # compiled-program caches keyed on it survive rebuilding the closure
+    # (a fresh gather per Trainer.train() call must not recompile
+    # 30-160 s remote-compile signatures — CLAUDE.md)
     store_gather.batch_multiple = mesh.shape[axis]
+    store_gather.cache_token = (mesh, axis)
     return store_gather

@@ -94,10 +94,12 @@ def append_result(
         if header:
             fields = header.split(",")
     with path.open("a", newline="") as fh:
+        # extrasaction="ignore" drops row keys the (possibly legacy)
+        # header lacks
         writer = csv.DictWriter(fh, fieldnames=fields, extrasaction="ignore")
         if not exists:
             writer.writeheader()
-        writer.writerow({k: v for k, v in row.items() if k in fields})
+        writer.writerow(row)
     return row
 
 

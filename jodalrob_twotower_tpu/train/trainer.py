@@ -238,10 +238,13 @@ class Trainer:
                     "sample_on_device needs the whole pair set device-resident; "
                     "it is incompatible with streaming batch sources"
                 )
-            if compressed is not None:
+            if self.mesh is not None:
+                # every mesh mode places the pair set replicated; one
+                # helper serves all branches below
                 from jodalrob_twotower_tpu.parallel.mesh import put_replicated
 
                 put_pairs = lambda p: put_replicated(p, self.mesh)  # noqa: E731
+            if compressed is not None:
 
                 def sampled_fn(k: int) -> Callable:
                     if k not in sampled_steps:
@@ -263,12 +266,9 @@ class Trainer:
                     # (parallel/sharded_sparse.make_sharded_sampled_sparse);
                     # sparse_defer_updates composes (one batched table
                     # update per key-fed window)
-                    from jodalrob_twotower_tpu.parallel.mesh import put_replicated
                     from jodalrob_twotower_tpu.parallel.sharded_sparse import (
                         make_sharded_sampled_sparse,
                     )
-
-                    put_pairs = lambda p: put_replicated(p, self.mesh)  # noqa: E731
 
                     def sampled_fn(k: int) -> Callable:
                         if k not in sampled_steps:
@@ -304,13 +304,11 @@ class Trainer:
                         return sampled_steps[k]
 
             elif self.mesh is not None:
-                from jodalrob_twotower_tpu.parallel.mesh import put_replicated
                 from jodalrob_twotower_tpu.parallel.sharded_train import (
                     make_sharded_sampled_steps,
                 )
 
                 state_sh = jax.tree.map(lambda x: x.sharding, state)
-                put_pairs = lambda p: put_replicated(p, self.mesh)  # noqa: E731
 
                 def sampled_fn(k: int) -> Callable:
                     if k not in sampled_steps:

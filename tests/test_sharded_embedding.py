@@ -172,18 +172,26 @@ def test_sharded_onehot_forward_matches_take(mesh, rng):
         np.asarray(out_odd), np.asarray(jnp.take(table, odd, axis=0)), rtol=1e-6
     )
 
-    # FORCED dense backward + table beyond the envelope: the backward
-    # keeps the kernel but the forward must stay the gather (its cost
-    # grows with rows x batch) — checked via the cache key
+    # FORCED dense BACKWARD (embedding_grad='dense') + table beyond the
+    # envelope: the backward keeps the kernel but the forward must stay
+    # the gather (its cost grows with rows x batch). Simulate the TPU
+    # auto-forward resolution on the CPU mesh.
     forced = ShardedDenseGradLookup(
-        mesh, interpret=True, max_rows=8, forced=True, lookup_mode="onehot"
+        mesh, interpret=True, max_rows=8, forced=True, lookup_mode="auto"
     )
+    forced.onehot_forward = True  # what 'auto' resolves to on TPU
     out_forced = forced(table, rows, total_rows=r, tile_feature=tf)
     assert out_forced.dtype == jnp.float32  # take forward above max_rows
     np.testing.assert_allclose(
         np.asarray(out_forced), np.asarray(jnp.take(table, rows, axis=0)),
         rtol=1e-6,
     )
+    # FORCED 'onehot' with an impossible config: loud, never silent
+    loud = ShardedDenseGradLookup(
+        mesh, interpret=True, max_rows=8, forced=True, lookup_mode="onehot"
+    )
+    with pytest.raises(ValueError, match="envelope"):
+        loud(table, rows, total_rows=r, tile_feature=tf)
 
 
 def test_replicated_dense_grad_train_step_matches_scatter(tiny_dataset, mesh):
