@@ -57,6 +57,12 @@ def parse_args(argv=None):
         "(global batch sampled on-mesh); incompatible with --stream",
     )
     p.add_argument(
+        "--metrics-jsonl",
+        type=Path,
+        help="stream structured per-epoch metrics to this JSONL file "
+        "(utils/profiling.MetricsLogger) in addition to the results CSV",
+    )
+    p.add_argument(
         "--fused-logits",
         choices=["auto", "on", "off"],
         help="fused Pallas CE loss kernels (ops/fused_logits.py): 'auto' "
@@ -122,6 +128,8 @@ def main(argv=None) -> int:
                 "it is incompatible with --stream"
             )
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, sample_on_device=True))
+    if args.metrics_jsonl:
+        cfg = cfg.replace(metrics_jsonl=str(args.metrics_jsonl))
     if args.fused_logits:
         resolved = {"auto": "auto", "on": True, "off": False}[args.fused_logits]
         cfg = cfg.replace(
