@@ -26,15 +26,25 @@ import numpy as np
 BASELINE_EXAMPLES_PER_SEC = 23.0 * 256  # reference: 23 it/s @ B=256
 
 
+def flagship_config():
+    """The benched config IS the product default.
+
+    A plain ``TrainConfig()`` — every fast-path knob (fused Pallas CE,
+    rbg dropout masks, bf16 device stores, one-hot MXU lookup) defaults to
+    "auto" and resolves on the TPU backend to exactly the headline path, so
+    a default ``scripts/train.py --synthetic --sample-on-device`` run
+    executes what this bench measures. Guarded by
+    tests/test_bench_config.py: any hand-tuned divergence between bench and
+    default config fails the suite (VERDICT r4 item 2).
+    """
+    from jodalrob_twotower_tpu.config import TrainConfig
+
+    return TrainConfig()
+
+
 def main() -> None:
     import jax
 
-    from jodalrob_twotower_tpu.config import (
-        LossConfig,
-        ModelConfig,
-        OptimizerConfig,
-        TrainConfig,
-    )
     from jodalrob_twotower_tpu.data.pipeline import assemble_pair_batch
     from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
     from jodalrob_twotower_tpu.models.two_tower import TwoTowerModel
@@ -46,15 +56,8 @@ def main() -> None:
     )
 
     batch_size = 8192
-    cfg = TrainConfig(
-        # reference dims: [512,256]->128, cat dim 32. Dropout masks come
-        # from the TPU hardware generator (rbg) instead of threefry VPU
-        # rounds — same dropout semantics, measured 3.05 -> 2.82 ms/step
-        # (scripts/profile_step.py full/rbg_dropout/no_dropout).
-        model=ModelConfig(dropout_rng_impl="rbg"),
-        loss=LossConfig(temperature=1.0, use_fused_logits=True),
-        optimizer=OptimizerConfig(),
-    )
+    # reference dims: [512,256]->128, cat dim 32 — all ModelConfig defaults.
+    cfg = flagship_config()
     schema = reference_shaped_schema()
     # enough rows that gathers are non-trivial; pairs resampled per epoch
     ds = make_synthetic_dataset(
@@ -72,15 +75,15 @@ def main() -> None:
 
     # feature matrices AND the pair set live in HBM for the whole run;
     # batches are sampled on-device from one PRNG key per dispatch. Dense
-    # blocks are stored bf16 (= the tower compute dtype): bit-identical
-    # results, halves the store's HBM footprint, and removes XLA's hoisted
-    # per-dispatch f32->bf16 store cast. Measured +0.06 ms/step in the
-    # threefry config and a wash (within run noise) in this rbg config -
-    # layouts are program-dependent, per-op traces decide.
-    import jax.numpy as jnp
+    # blocks are stored at the config-resolved dtype (default "auto" = the
+    # bf16 compute dtype): bit-identical results, halves the store's HBM
+    # footprint, and removes XLA's hoisted per-dispatch f32->bf16 store
+    # cast (BENCHMARKS.md).
+    from jodalrob_twotower_tpu.train.train_step import resolve_store_dtype
 
-    n_store = device_store(ds.notice_store, dtype=jnp.bfloat16)
-    c_store = device_store(ds.company_store, dtype=jnp.bfloat16)
+    store_dt = resolve_store_dtype(cfg)
+    n_store = device_store(ds.notice_store, dtype=store_dt)
+    c_store = device_store(ds.company_store, dtype=store_dt)
     pairs_dev = jax.device_put(ds.pairs.astype(np.int32))
     # scan n_inner steps per dispatch: amortizes host dispatch latency
     n_inner = 16

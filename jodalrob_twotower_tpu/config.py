@@ -28,13 +28,19 @@ class ModelConfig:
     tower_hidden_dims: tuple[int, ...] = (512, 256)
     final_embedding_dim: int = 128
     dropout_rate: float = 0.1
-    # PRNG implementation for the per-step dropout mask stream: "threefry"
-    # (JAX default, counter-based, bit-stable everywhere) or "rbg" (XLA's
-    # RngBitGenerator — the TPU's fast hardware generator). Threefry mask
-    # generation is VPU-heavy at large batch; rbg cuts it. Mask bits differ
-    # between the two, but within one impl runs remain bit-reproducible:
+    # PRNG implementation for the per-step dropout mask stream: "auto"
+    # (default — "rbg" on a TPU backend, "threefry" elsewhere; mirrors
+    # use_fused_logits="auto"), "threefry" (JAX default, counter-based,
+    # bit-stable everywhere) or "rbg" (XLA's RngBitGenerator — the TPU's
+    # fast hardware generator). Threefry mask generation is VPU-heavy at
+    # large batch; rbg cuts the measured dropout cost from ~0.29 to ~0.06
+    # ms/step at B=8192 (BENCHMARKS.md), which is why "auto" picks it on
+    # TPU: the shipped driver default IS the headline-bench path (the
+    # reference likewise enabled its fast-math defaults in the driver,
+    # scripts/train.py:145-150, not in a bench). Mask bits differ between
+    # the two impls, but within one impl runs remain bit-reproducible:
     # the key is still derived by fold_in(state.rng, step).
-    dropout_rng_impl: str = "threefry"
+    dropout_rng_impl: str = "auto"
     use_batch_norm: bool = True
     # Compute dtype for tower matmuls; params stay float32.
     compute_dtype: str = "bfloat16"
@@ -56,9 +62,9 @@ class ModelConfig:
     embedding_lookup: str = "auto"
 
     def __post_init__(self) -> None:
-        if self.dropout_rng_impl not in ("threefry", "rbg"):
+        if self.dropout_rng_impl not in ("auto", "threefry", "rbg"):
             raise ValueError(
-                f"dropout_rng_impl must be 'threefry' or 'rbg', got "
+                f"dropout_rng_impl must be 'auto', 'threefry' or 'rbg', got "
                 f"{self.dropout_rng_impl!r}"
             )
         if self.compute_dtype not in ("bfloat16", "float32"):
@@ -129,6 +135,15 @@ class OptimizerConfig:
     adagrad_init_accumulator: float = 0.1
     adagrad_eps: float = 1e-10
     gradient_clip_norm: float | None = None
+    # dtype of AdamW's FIRST moment (mu) for the dense tower params:
+    # "float32" (default) | "bfloat16". bf16 halves mu's read+write in the
+    # optimizer fusion (~11.6 MB/step at the flagship, part of the ~0.25
+    # ms optimizer line — measured delta in BENCHMARKS.md). The SECOND
+    # moment (nu) intentionally stays f32 in both modes: its b2=0.999 EMA
+    # adds ~1e-3-relative increments, below bf16's ~4e-3 mantissa
+    # granularity — a bf16 nu stops accumulating (measured divergence,
+    # BENCHMARKS.md "bf16 optimizer moments").
+    adam_moment_dtype: str = "float32"
     # Duplicate-id semantics of the sparse-tables rowwise Adagrad
     # (train/sparse_tables.py): "exact" segment-sums per-occurrence grads
     # per unique row first, matching the dense path's autodiff-summed
@@ -139,6 +154,11 @@ class OptimizerConfig:
     sparse_duplicate_handling: str = "exact"
 
     def __post_init__(self) -> None:
+        if self.adam_moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "adam_moment_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.adam_moment_dtype!r}"
+            )
         if self.sparse_duplicate_handling not in ("exact", "per_occurrence"):
             raise ValueError(
                 "sparse_duplicate_handling must be 'exact' or "
@@ -234,10 +254,23 @@ class MeshConfig:
     #          wire vs f32's 4, per-worker residual re-injects what the
     #          quantizer dropped.
     #   "bf16" — cast-and-psum, 2 B/elem, no shared-scale collective.
-    # Loss semantics switch to LOCAL in-batch negatives per shard (the
-    # reference's per-GPU semantics, two_tower_train_task.py:99-134);
-    # global negatives stay the default GSPMD/fused path.
+    # Loss semantics under compression — see compressed_negatives below;
+    # uncompressed runs always use the GSPMD/fused global-negatives path.
     grad_compression: str = "none"
+    # In-batch-negatives scope WHEN grad_compression is on:
+    #   "local" (default) — each shard's [B/n, B/n] block, the reference's
+    #          per-GPU semantics (two_tower_train_task.py:99-134). Zero
+    #          extra wire: only the compressed dense grads cross shards.
+    #   "global" — the framework's flagship full-global-batch candidate
+    #          set, kept under compression via the manual fused CE
+    #          (ops/fused_logits.make_manual_fused_ce) inside the
+    #          compressed shard_map step. Wire adds one [B, D] f32
+    #          all-gather of the company side per forward + backward
+    #          (B=8192, D=128: 4 MB/step vs the 5.8 MB the int16
+    #          compression saves on the flagship's 11.6 MB dense grads —
+    #          still a net win, and the loss matches the uncompressed
+    #          mesh path exactly).
+    compressed_negatives: str = "local"
 
     def __post_init__(self) -> None:
         if self.embedding_sharding not in (
@@ -256,6 +289,11 @@ class MeshConfig:
             raise ValueError(
                 "grad_compression must be 'none', 'int16' or 'bf16'; "
                 f"got {self.grad_compression!r}"
+            )
+        if self.compressed_negatives not in ("local", "global"):
+            raise ValueError(
+                "compressed_negatives must be 'local' or 'global'; "
+                f"got {self.compressed_negatives!r}"
             )
 
 

@@ -62,16 +62,33 @@ def create_train_state(
     return state, tx
 
 
-def dropout_key(model_cfg, rng):
-    """Per-step dropout key in the configured PRNG impl.
+def resolve_dropout_rng_impl(model_cfg) -> str:
+    """Resolve ``ModelConfig.dropout_rng_impl`` ("auto" | literal) to a literal.
 
-    With ``dropout_rng_impl="rbg"`` the threefry key's raw words are wrapped
-    into an XLA RngBitGenerator key, so flax's Dropout draws its mask from
-    the TPU's hardware generator instead of computing threefry rounds on the
-    VPU (measured ~0.2 ms/step at B=8192 — BENCHMARKS.md). Derivation stays
-    a pure function of (state.rng, step), so runs remain replayable.
+    "auto" picks "rbg" on a TPU backend (the hardware RngBitGenerator —
+    measured 0.23 ms/step cheaper than threefry mask generation at B=8192,
+    BENCHMARKS.md) and "threefry" elsewhere, mirroring
+    ``resolve_use_fused`` (train/loss.py): the shipped default IS the
+    headline-bench path on TPU, with no semantic change (dropout stays
+    dropout; only the mask bit-stream differs between impls).
     """
-    if getattr(model_cfg, "dropout_rng_impl", "threefry") != "rbg":
+    v = getattr(model_cfg, "dropout_rng_impl", "threefry")
+    if v == "auto":
+        return "rbg" if jax.default_backend() == "tpu" else "threefry"
+    return v
+
+
+def dropout_key(model_cfg, rng):
+    """Per-step dropout key in the configured (resolved) PRNG impl.
+
+    With ``dropout_rng_impl="rbg"`` (the "auto" resolution on TPU) the
+    threefry key's raw words are wrapped into an XLA RngBitGenerator key, so
+    flax's Dropout draws its mask from the TPU's hardware generator instead
+    of computing threefry rounds on the VPU (measured ~0.2 ms/step at
+    B=8192 — BENCHMARKS.md). Derivation stays a pure function of
+    (state.rng, step), so runs remain replayable.
+    """
+    if resolve_dropout_rng_impl(model_cfg) != "rbg":
         return rng
     data = rng
     if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
@@ -126,6 +143,7 @@ def _forward_loss(
     *,
     train: bool,
     sharded_ce=None,
+    use_fused: bool | None = None,
 ):
     variables = {"params": params}
     if batch_stats:
@@ -154,7 +172,7 @@ def _forward_loss(
             temperature=cfg.loss.temperature,
             label_smoothing=cfg.loss.label_smoothing,
             margin=cfg.loss.cosine_margin,
-            use_fused=resolve_use_fused(cfg.loss),
+            use_fused=resolve_use_fused(cfg.loss) if use_fused is None else use_fused,
             # tower outputs are L2-normalized by construction
             # (models/tower.py), proving |logits| <= 1/temperature for the
             # fused lean kernel
@@ -405,8 +423,23 @@ def make_eval_step(
     cfg: TrainConfig,
     *,
     jit: bool = True,
+    sharded_batch: bool = False,
 ) -> Callable[[TrainState, PairBatch], Mapping[str, jax.Array]]:
-    """Eval step: forward (no dropout, frozen BN stats) + loss + metrics."""
+    """Eval step: forward (no dropout, frozen BN stats) + loss + metrics.
+
+    ``sharded_batch``: the caller feeds batches SHARDED over a mesh data
+    axis (the rows-store cross-shard exchange emits them that way). The
+    single-device fused Pallas CE/stats kernels cannot be partitioned by
+    GSPMD (models/embedding.py:214 documents the same limit for the lookup
+    kernel), so with a sharded batch the step uses the XLA materialized
+    path regardless of ``use_fused_logits`` — identical metric surface and
+    loss semantics; GSPMD shards the [B/n, B] similarity matmul. The train
+    path keeps its fused speed on a mesh via the shard_mapped kernels
+    (make_sharded_ce); eval is off the hot loop, so the XLA fallback is the
+    simple correct form there.
+    """
+    # resolved at build time: None = follow config, False = force XLA
+    eval_use_fused = False if sharded_batch else None
 
     def eval_fn(state: TrainState, batch: PairBatch):
         loss, (sim, n_emb, c_emb, _) = _forward_loss(
@@ -417,6 +450,7 @@ def make_eval_step(
             batch,
             jax.random.PRNGKey(0),
             train=False,
+            use_fused=eval_use_fused,
         )
         metrics = {"loss": loss}
         if sim is not None:
@@ -458,11 +492,17 @@ def make_indexed_eval_steps(
     ``store_gather(store, rows [B]) -> TowerBatch`` overrides the plain
     ``jnp.take`` — ROW-SHARDED stores pass the explicit cross-shard
     exchange (parallel/sharded_store.make_tower_batch_gather), keeping
-    device-resident eval for exactly the stores too big to replicate.
+    device-resident eval for exactly the stores too big to replicate. The
+    exchange emits batches sharded over the mesh data axis, so the eval
+    core switches to the XLA loss/metrics path (``sharded_batch`` in
+    make_eval_step) — the single-device Pallas kernels would otherwise
+    receive partitioned operands under GSPMD on a real multi-chip mesh.
     """
     from jodalrob_twotower_tpu.data.types import default_tower_gather
 
-    eval_core = make_eval_step(model, cfg, jit=False)
+    eval_core = make_eval_step(
+        model, cfg, jit=False, sharded_batch=store_gather is not None
+    )
     gather = store_gather if store_gather is not None else default_tower_gather
 
     def steps_fn(state: TrainState, idx_stack, notice_store, company_store):

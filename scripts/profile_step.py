@@ -60,13 +60,15 @@ N_INNER = 16
 N_DISPATCH = 20
 
 
-def build(cfg_kwargs_model=None, cfg_kwargs_loss=None):
-    loss_kwargs = {"temperature": 1.0, "use_fused_logits": True}
-    loss_kwargs.update(cfg_kwargs_loss or {})
+def build(cfg_kwargs_model=None, cfg_kwargs_loss=None, cfg_kwargs_opt=None):
+    # The base "full" variant is the DEFAULT TrainConfig — on the TPU this
+    # profiler targets, the "auto" knobs (fused CE, rbg dropout, one-hot
+    # lookup, bf16 stores) resolve to exactly the headline-bench path
+    # (bench.flagship_config); toggles measure deltas from that default.
     return TrainConfig(
         model=ModelConfig(**(cfg_kwargs_model or {})),
-        loss=LossConfig(**loss_kwargs),
-        optimizer=OptimizerConfig(),
+        loss=LossConfig(**(cfg_kwargs_loss or {})),
+        optimizer=OptimizerConfig(**(cfg_kwargs_opt or {})),
     )
 
 
@@ -79,8 +81,10 @@ def setup_data():
         schema, n_notices=100_000, n_companies=100_000, n_pairs=400_000,
         n_clusters=256, seed=0,
     )
-    n_store = device_store(ds.notice_store)
-    c_store = device_store(ds.company_store)
+    # stores at the default-resolved dtype (device_store_dtype="auto" =
+    # the bf16 compute dtype), matching bench.py's headline path
+    n_store = device_store(ds.notice_store, dtype=jnp.bfloat16)
+    c_store = device_store(ds.company_store, dtype=jnp.bfloat16)
     pairs_dev = jax.device_put(ds.pairs.astype(np.int32))
     return ds, n_store, c_store, pairs_dev
 
@@ -192,22 +196,26 @@ VARIANTS = [
     "gather_only",     # sample + batch gather only
     "sample_only",     # randint sampling only
     "no_dropout",      # full, dropout_rate=0
-    "rbg_dropout",     # full, dropout masks from XLA RngBitGenerator
+    "threefry_dropout",  # full, dropout masks from threefry VPU rounds
+                       # (the pre-round-5 default; "full" now resolves
+                       # auto->rbg on TPU, so this is the control)
     "no_bn",           # full, use_batch_norm=False
     "xla_loss",        # full, use_fused_logits=False
     "scatter_grad",    # full, embedding_grad=scatter
+    "bf16_mu",         # full, AdamW first moment stored bf16
     "onehot_lookup",   # full, embedding_lookup=onehot (one-hot MXU forward)
     "gather_lookup",   # full, embedding_lookup=gather (row-DMA forward —
                        # the pre-round-4 default, kept as the control)
 ]
 
 _MODEL_TOGGLES = {"no_dropout": {"dropout_rate": 0.0},
-                  "rbg_dropout": {"dropout_rng_impl": "rbg"},
+                  "threefry_dropout": {"dropout_rng_impl": "threefry"},
                   "no_bn": {"use_batch_norm": False},
                   "scatter_grad": {"embedding_grad": "scatter"},
                   "onehot_lookup": {"embedding_lookup": "onehot"},
                   "gather_lookup": {"embedding_lookup": "gather"}}
 _LOSS_TOGGLES = {"xla_loss": {"use_fused_logits": False}}
+_OPT_TOGGLES = {"bf16_mu": {"adam_moment_dtype": "bfloat16"}}
 
 
 def run_variants(want):
@@ -225,7 +233,8 @@ def run_variants(want):
             model, state, tx = base
             fn = make_variant(model, base_cfg, tx, name)
         else:
-            cfg = build(_MODEL_TOGGLES.get(name, {}), _LOSS_TOGGLES.get(name, {}))
+            cfg = build(_MODEL_TOGGLES.get(name, {}), _LOSS_TOGGLES.get(name, {}),
+                        _OPT_TOGGLES.get(name, {}))
             model, state, tx = setup_state(cfg, ds)
             fn = make_variant(model, cfg, tx, "full")
         timeit(name, fn, state, pairs_dev, n_store, c_store)
