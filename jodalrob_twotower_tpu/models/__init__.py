@@ -45,4 +45,19 @@ def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
             forced=cfg.model.embedding_grad == "dense",
             lookup_mode=resolve_lookup_mode(cfg.model),
         )
+    if (
+        cfg.model.embedding_lookup == "onehot"
+        and lookup_fn is not None
+        and not getattr(lookup_fn, "supports_onehot", False)
+    ):
+        # loud-where-it-cannot-run contract (models/embedding.py): the
+        # shard_map all-to-all exchange wins the lookup_fn branch and never
+        # consults the forced mode — reject instead of silently gathering
+        raise ValueError(
+            "embedding_lookup='onehot' forced, but the configured embedding "
+            f"sharding ({mode!r}) installs a lookup that does not carry the "
+            "one-hot MXU kernel — use embedding_sharding='replicated' "
+            "(ShardedDenseGradLookup runs the kernel per shard) or "
+            "embedding_lookup='auto'"
+        )
     return TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup, lookup_fn)

@@ -171,6 +171,14 @@ class EmbeddingCollection(nn.Module):
         if self.lookup_mode == "gather":
             return False
         if self.lookup_mode == "onehot":
+            if self.grad_mode == "scatter":
+                raise ValueError(
+                    "embedding_lookup='onehot' forces the one-hot MXU "
+                    "forward, whose backward is the dense one-hot matmul — "
+                    "it cannot honor embedding_grad='scatter'; use "
+                    "embedding_lookup='auto'/'gather' to keep the scatter "
+                    "backward, or embedding_grad='auto'/'dense'"
+                )
             if self._total_rows > self.DENSE_GRAD_MAX_ROWS:
                 raise ValueError(
                     f"embedding_lookup='onehot' forced but the unified "

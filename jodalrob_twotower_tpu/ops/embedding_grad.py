@@ -199,6 +199,144 @@ def dense_table_grad_t(
 
 
 # ---------------------------------------------------------------------------
+# B-major cotangent variant (VERDICT r4 #5b): absorb the relayout
+# ---------------------------------------------------------------------------
+#
+# The transposed kernel above wants its grads [K, D, B]; the tower's
+# backward emits them [B, K·D]-contiguous, so the jit carries a real
+# [B,K,D]→[K,D,B] relayout copy (`copy.65`, 0.08 ms/step in the round-3
+# trace — ≈ the HBM floor for moving 16 MB bf16). This variant reads the
+# cotangent in its NATIVE layout and contracts g[C, D]'s sublane dim
+# against the one-hot's lane dim → [D, 128], so no relayout exists.
+#
+# MEASURED/STRUCTURAL REJECT at the flagship shape (round 5,
+# scripts/embgrad_microbench.py): any native-layout block leaves D=32 on
+# the LANE dim, which Mosaic pads to 128 lanes — the [B, 8, D] group block
+# costs 4x its logical bytes in VMEM (32.03 MB > the 16 MB scoped limit,
+# compile-time OOM on the chip at B=8192). Addressing a single feature's
+# [B, 1, D] stripe instead is rejected by the 8-sublane alignment rule.
+# The [K, D, B] relayout (B on lanes, fully utilized) is exactly what
+# makes the shipped t-kernel VMEM-viable — the 0.08 ms copy buys a legal
+# layout, and the round-5 default-program trace no longer shows it as a
+# distinct line (largest copy 0.033 ms/step, BENCHMARKS.md). The kernel
+# stays as the recorded experiment: bit-exact vs the t-kernel in
+# interpret mode (tests/test_embedding_grad.py), VMEM-infeasible on
+# hardware at the shapes where it would matter.
+
+
+def _grad_kernel_bmajor(chunk: int, group: int):
+    """One program = one 128-row table tile; g arrives [B, K, D] in its
+    NATIVE layout, blocked as [B, group, D] feature groups (Mosaic needs
+    block sublanes divisible by 8 — a lone feature's [B, 1, D] stripe is
+    not addressable, its 8-feature group is)."""
+
+    def kernel(tile_feature_ref, tile_row_ref, rows_ref, g_ref, out_ref):
+        t = pl.program_id(0)
+        row0 = tile_row_ref[t]
+        feature = tile_feature_ref[t]
+        f_in = feature - (feature // group) * group  # feature % group
+        b = rows_ref.shape[1]
+        d = g_ref.shape[2]
+        tile_ids_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
+        n_chunks = b // chunk
+
+        def body(i, acc):
+            lo = i * chunk
+            ids_row = rows_ref[pl.ds(feature, 1), pl.ds(lo, chunk)]  # [1, C]
+            onehot_t = (tile_ids_col == ids_row).astype(jnp.bfloat16)  # [128, C]
+            # native-layout group read + VPU one-hot select of the owning
+            # feature (a dynamic sublane slice needs 8-alignment Mosaic
+            # cannot prove for f_in; the masked sum is cheap VPU work)
+            g_grp = g_ref[pl.ds(lo, chunk), :, :].astype(jnp.bfloat16)  # [C, G, D]
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1) == f_in
+            ).astype(jnp.bfloat16)
+            g = jnp.sum(g_grp * sel, axis=1)  # [C, D]
+            # contract C on g's SUBLANE dim and the one-hot's lane dim:
+            # result [D, 128] — same full-lane output as the transposed
+            # kernel; Mosaic supplies the operand orientation
+            return acc + jax.lax.dot_general(
+                g,
+                onehot_t,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((d, TILE_ROWS), jnp.float32)
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_kernel_bmajor(chunk: int, group: int):
+    return _grad_kernel_bmajor(chunk, group)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("total_rows", "tile_feature", "interpret")
+)
+def dense_table_grad_bmajor(
+    rows: jax.Array,
+    g: jax.Array,
+    *,
+    total_rows: int,
+    tile_feature: tuple[int, ...],
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-output table gradient ([D, total_rows], same math as
+    :func:`dense_table_grad_t`) whose grads input keeps the tower's native
+    [B, K, D] layout — no [K, D, B] relayout copy. See the section comment
+    for when this wins; parity asserted in tests/test_embedding_grad.py."""
+    b, k = rows.shape
+    d = g.shape[2]
+    assert total_rows % TILE_ROWS == 0
+    n_tiles = total_rows // TILE_ROWS
+    assert len(tile_feature) == n_tiles
+
+    # smaller chunks than the t-kernel: the loop body materializes the
+    # [C, G, D] group read + its masked select in VMEM alongside the
+    # double-buffered 4 MB g block
+    chunk = min(2048, _batch_chunk(b))
+    pad = (-b) % chunk
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad, k), -1, jnp.int32)])
+        g = jnp.concatenate([g, jnp.zeros((pad, k, d), g.dtype)])
+    b_pad = rows.shape[0]
+
+    rows_t = rows.astype(jnp.int32).T  # [K, B] — 1 MB, tiny
+    # the ONLY transform on g: bf16 cast (fuses with its producer)
+    g3 = g.astype(jnp.bfloat16)
+    group = 8 if k % 8 == 0 else k
+
+    tf = jnp.asarray(np.asarray(tile_feature, np.int32))
+    tr = jnp.asarray(np.arange(n_tiles, dtype=np.int32) * TILE_ROWS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, b_pad), lambda t, tf, tr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (b_pad, group, d),
+                lambda t, tf, tr: (0, tf[t] // group, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (d, TILE_ROWS), lambda t, tf, tr: (0, t), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _get_kernel_bmajor(chunk, group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, total_rows), jnp.float32),
+        interpret=interpret,
+    )(tf, tr, rows_t, g3)
+
+
+# ---------------------------------------------------------------------------
 # forward twin: one-hot MXU lookup (VERDICT r3 #2)
 # ---------------------------------------------------------------------------
 #

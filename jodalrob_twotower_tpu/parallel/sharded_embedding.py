@@ -62,6 +62,9 @@ class ShardedDenseGradLookup:
     """
 
     needs_layout = True
+    # honors ModelConfig.embedding_lookup (build_model rejects forced
+    # 'onehot' on lookup_fns without this marker — ADVICE r4)
+    supports_onehot = True
 
     def __init__(
         self,

@@ -61,12 +61,28 @@ def pad_rows_to(mat: np.ndarray, multiple: int) -> np.ndarray:
 def put_row_sharded_store(store: tuple, mesh: Mesh, axis: str = DATA_AXIS):
     """Device-put a (dense [N, D], cat_ids [N, K]) host store tuple with the
     rows sharded over ``mesh[axis]`` (padding N up to the axis size). Each
-    chip's HBM holds N/n rows — the whole point of the mode."""
+    chip's HBM holds N/n rows — the whole point of the mode.
+
+    Multi-process meshes assemble the global array through
+    ``jax.make_array_from_callback`` — every process holds the same full
+    host copy and uploads only its addressable row shards. This mirrors
+    ``put_replicated`` (parallel/mesh.py): the documented-stable assembly
+    API instead of relying on ``device_put`` handling shardings that span
+    non-addressable devices (ADVICE r4)."""
     n_shards = mesh.shape[axis]
     sh2 = NamedSharding(mesh, P(axis, None))
-    return tuple(
-        jax.device_put(pad_rows_to(np.asarray(m), n_shards), sh2) for m in store
-    )
+    out = []
+    for m in store:
+        padded = pad_rows_to(np.asarray(m), n_shards)
+        if jax.process_count() > 1:
+            out.append(
+                jax.make_array_from_callback(
+                    padded.shape, sh2, lambda idx, p=padded: p[idx]
+                )
+            )
+        else:
+            out.append(jax.device_put(padded, sh2))
+    return tuple(out)
 
 
 def make_store_gather(mesh: Mesh, axis: str = DATA_AXIS) -> Callable:

@@ -190,6 +190,34 @@ def worker(process_id: int, num_processes: int) -> None:
     )
     compressed_loss = float(res_c.history[-1]["train_loss"])
 
+    # ---- rows-sharded store across processes (ADVICE r4 low #3) ----------
+    # put_row_sharded_store's multi-process branch assembles the global
+    # array via make_array_from_callback (each process uploads only its
+    # addressable row shards); the explicit exchange must still be exactly
+    # a gather against the full host matrix.
+    from jax.sharding import NamedSharding
+    from jodalrob_twotower_tpu.parallel.mesh import put_replicated
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        make_tower_batch_gather,
+        put_row_sharded_store,
+    )
+
+    rstore = put_row_sharded_store(
+        (np.asarray(ds.notice_store.dense), np.asarray(ds.notice_store.cat_ids)),
+        mesh,
+    )
+    rows_local = sum(s.data.shape[0] for s in rstore[0].addressable_shards)
+    sgather = make_tower_batch_gather(mesh)
+    probe = (np.arange(BATCH, dtype=np.int32) * 37) % len(ds.notice_store)
+    tb = sgather(rstore, put_replicated(probe, mesh))
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    got_dense = np.asarray(rep(tb.dense).addressable_shards[0].data)
+    got_cat = np.asarray(rep(tb.cat_ids).addressable_shards[0].data)
+    store_gather_exact = bool(
+        np.array_equal(got_dense, np.asarray(ds.notice_store.dense)[probe])
+        and np.array_equal(got_cat, np.asarray(ds.notice_store.cat_ids)[probe])
+    )
+
     print(json.dumps({
         "process": idx, "processes": count, "global_devices": n_global,
         "losses": [round(l, 6) for l in losses],
@@ -202,6 +230,9 @@ def worker(process_id: int, num_processes: int) -> None:
         "stream_finite": bool(np.isfinite(stream_loss)),
         "compressed_loss": round(compressed_loss, 6),
         "compressed_finite": bool(np.isfinite(compressed_loss)),
+        "store_rows_on_this_host": int(rows_local),
+        "store_rows_global": int(rstore[0].shape[0]),
+        "store_gather_exact": store_gather_exact,
     }), flush=True)
 
 
@@ -237,6 +268,10 @@ def main() -> int:
     # int16 psum'd gradient is applied identically everywhere) and finite
     assert outs[0]["compressed_loss"] == outs[1]["compressed_loss"], outs
     assert all(o["compressed_finite"] for o in outs), outs
+    # rows-sharded store: each host holds half the rows and the explicit
+    # exchange equals a host-side gather (multi-process placement path)
+    assert outs[0]["store_rows_on_this_host"] * n == outs[0]["store_rows_global"]
+    assert all(o["store_gather_exact"] for o in outs), outs
     print(json.dumps({"bench": "multihost_smoke", "ok": True, **outs[0]}))
     return 0
 

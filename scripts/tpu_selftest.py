@@ -171,6 +171,13 @@ def check_dense_table_grad(b: int = 8192, k: int = 32) -> None:
     exact = bool(jnp.all(got_t == got))
     emit("dense_table_grad_t_bitexact_vs_standard", exact, b=b, k=k, rows=int(total))
 
+    # NOTE: the B-major-input kernel experiment (dense_table_grad_bmajor,
+    # VERDICT r4 #5b) is deliberately NOT selftested on hardware: it is
+    # VMEM-infeasible at this shape (lane-padding 4x — see the measured
+    # reject in ops/embedding_grad.py / BENCHMARKS.md); its bit-exactness
+    # vs the t-kernel is covered in interpret mode by
+    # tests/test_embedding_grad.py.
+
 
 def check_onehot_lookup(b: int = 8192, k: int = 32) -> None:
     """One-hot MXU forward lookup (VERDICT r3 #2) vs the row-DMA gather:

@@ -254,3 +254,64 @@ def test_transposed_grad_matches_standard(rng, b, k, d):
     np.testing.assert_array_equal(np.asarray(tr).T, np.asarray(std))
     ref = _scatter_ref(rows, g, total_rows)
     np.testing.assert_allclose(np.asarray(tr).T, np.asarray(ref), rtol=2e-2, atol=5e-2)
+
+def test_forced_onehot_rejects_scatter_grad():
+    """embedding_grad='scatter' + embedding_lookup='onehot' is a
+    contradiction (the one-hot forward's backward IS the dense matmul):
+    reject loudly instead of silently overriding the scatter request
+    (ADVICE r4 low #2b)."""
+    from jodalrob_twotower_tpu.models.embedding import EmbeddingCollection
+
+    emb = EmbeddingCollection(
+        vocab_sizes=(30,), embed_dim=8, lookup_mode="onehot", grad_mode="scatter"
+    )
+    with pytest.raises(ValueError, match="scatter"):
+        emb.init(jax.random.PRNGKey(0), jnp.zeros((4, 1), jnp.int32))
+
+
+def test_forced_onehot_rejects_shard_map_sharding(tiny_dataset):
+    """build_model: forced 'onehot' with embedding_sharding='shard_map'
+    (whose all-to-all lookup_fn wins the dispatch and never consults the
+    forced mode) raises instead of silently gathering (ADVICE r4 low #2a)."""
+    import dataclasses
+
+    from jodalrob_twotower_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from jodalrob_twotower_tpu.models import build_model
+    from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(embedding_lookup="onehot"),
+        mesh=MeshConfig(embedding_sharding="shard_map"),
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="one-hot"):
+        build_model(ds.schema, cfg, mesh=mesh)
+
+
+@pytest.mark.parametrize("b,k,d", [(256, 4, 32), (100, 3, 16)])
+def test_bmajor_grad_matches_transposed(rng, b, k, d):
+    """dense_table_grad_bmajor (VERDICT r4 #5b): the relayout-free B-major
+    input form is bit-identical to dense_table_grad_t — same one-hot, same
+    bf16 rounding of g, only the contraction orientation differs."""
+    from jodalrob_twotower_tpu.ops.embedding_grad import (
+        dense_table_grad_bmajor,
+        dense_table_grad_t,
+    )
+
+    vocabs = tuple(rng.integers(50, 200, size=k).tolist())
+    offsets, total_rows = table_layout(vocabs)
+    tf = tuple(tile_feature_map(vocabs).tolist())
+    ids = np.stack(
+        [rng.integers(0, v, size=b) for v in vocabs], axis=1
+    ).astype(np.int32)
+    rows = jnp.asarray(ids + offsets[None, :])
+    g = jnp.asarray(rng.normal(size=(b, k, d)).astype(np.float32))
+
+    ref = dense_table_grad_t(
+        rows, g, total_rows=total_rows, tile_feature=tf, interpret=True
+    )
+    got = dense_table_grad_bmajor(
+        rows, g, total_rows=total_rows, tile_feature=tf, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -316,3 +316,52 @@ def test_trainer_mesh_rows_mode(tiny_dataset, tmp_path):
         result = trainer.train(tr, va, corpus_eval=False)
         hist[mode] = result.history[-1]["train_loss"]
     assert hist["rows"] == pytest.approx(hist["replicated"], rel=1e-4)
+
+
+def test_indexed_eval_sharded_batch_uses_xla_loss(tiny_dataset, mesh8, monkeypatch):
+    """With a rows-sharded store the eval batch comes out of the cross-shard
+    exchange SHARDED on the data axis; the single-device fused Pallas
+    CE/stats kernels cannot receive partitioned operands under GSPMD
+    (ADVICE r4, medium). make_indexed_eval_steps must therefore build its
+    eval core on the XLA materialized path even when use_fused_logits is
+    forced True — asserted by poisoning the fused entry points."""
+    import jodalrob_twotower_tpu.ops.fused_logits as fl
+    from jodalrob_twotower_tpu.evaluation.evaluator import Evaluator
+    from jodalrob_twotower_tpu.parallel.mesh import put_replicated, replicated
+    from jodalrob_twotower_tpu.parallel.sharded_store import (
+        make_tower_batch_gather,
+        put_row_sharded_store,
+    )
+    from jodalrob_twotower_tpu.train.train_step import create_train_state
+
+    ds = tiny_dataset
+    cfg = dataclasses.replace(
+        _cfg(store_sharding="rows"),
+        loss=LossConfig(temperature=0.5, use_fused_logits=True),
+    )
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, ds.pairs[:64])
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), example, 10)
+    state = jax.device_put(state, jax.tree.map(lambda _: replicated(mesh8), state))
+
+    def _boom(*a, **k):
+        raise AssertionError("fused Pallas kernel reached with a mesh-sharded eval batch")
+
+    monkeypatch.setattr(fl, "fused_bidirectional_ce", _boom)
+    monkeypatch.setattr(fl, "fused_in_batch_metrics", _boom)
+
+    gather = make_tower_batch_gather(mesh8)
+    n_store = put_row_sharded_store(
+        (np.asarray(ds.notice_store.dense), np.asarray(ds.notice_store.cat_ids)), mesh8
+    )
+    c_store = put_row_sharded_store(
+        (np.asarray(ds.company_store.dense), np.asarray(ds.company_store.cat_ids)), mesh8
+    )
+    ev = Evaluator(model, cfg)
+    out = ev.evaluate_indexed(
+        state, ds.pairs[:256], n_store, c_store, batch_size=64,
+        put_idx=lambda x: put_replicated(x, mesh8),
+        store_gather=gather,
+    )
+    assert np.isfinite(out["loss"])
+    assert "accuracy" in out and "z_gap" in out
