@@ -1203,6 +1203,60 @@ def _sharded_ce_grads_local(n, c, row_lse, col_lse, g, axis_name, temperature,
     return dn, dc
 
 
+def make_manual_fused_ce(
+    axis_name: str,
+    *,
+    temperature: float = 1.0,
+    label_smoothing: float = 0.0,
+    interpret: bool | None = None,
+    max_abs_logit: float | None = None,
+):
+    """Per-shard GLOBAL-negatives fused CE for callers ALREADY INSIDE a
+    ``shard_map`` over ``axis_name`` (Manual-axes context).
+
+    ``make_sharded_fused_ce`` wraps the per-shard primal/backward in its own
+    shard_maps, which cannot nest inside another shard_map — but the
+    per-shard functions themselves (:func:`_sharded_ce_primal` /
+    :func:`_sharded_ce_grads_local`) are plain collective programs, so this
+    builder exposes them as a ``custom_vjp`` callable directly. Used by the
+    compressed-DP steps (parallel/compressed_grads.py) to keep the
+    framework's flagship global in-batch-negatives loss while the dense
+    gradient sync is quantized: the candidate set is the full global batch
+    (one [B, D] f32 all-gather of the company side per forward+backward)
+    at any mesh size, identical semantics to the GSPMD/fused path.
+
+    Args are (n_local [B/n, D], c_local [B/n, D]); returns the replicated
+    global loss. Gradients flow to both inputs (their LOCAL slices).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    @jax.custom_vjp
+    def loss_fn(n, c):
+        loss, _ = _sharded_ce_primal(
+            n, c, axis_name, temperature, label_smoothing, interpret,
+            max_abs_logit,
+        )
+        return loss
+
+    def fwd(n, c):
+        loss, (row_lse, col_lse) = _sharded_ce_primal(
+            n, c, axis_name, temperature, label_smoothing, interpret,
+            max_abs_logit,
+        )
+        return loss, (n, c, row_lse, col_lse)
+
+    def bwd(res, g):
+        n, c, row_lse, col_lse = res
+        return _sharded_ce_grads_local(
+            n, c, row_lse, col_lse, jnp.asarray(g, jnp.float32), axis_name,
+            temperature, label_smoothing, interpret,
+        )
+
+    loss_fn.defvjp(fwd, bwd)
+    return loss_fn
+
+
 def make_sharded_fused_ce(
     mesh,
     axis_name: str,

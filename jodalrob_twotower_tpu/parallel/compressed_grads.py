@@ -30,11 +30,25 @@ makes lossy sync trustworthy.
 Because compression needs per-WORKER residual state and control over the
 collective, the step is an explicit ``shard_map`` data-parallel step
 (:func:`make_dp_compressed_train_step`) rather than the GSPMD path (whose
-all-reduce is implicit and uncompressible). Loss semantics in this mode are
-LOCAL in-batch negatives (each shard's [B/n, B/n] block — exactly the
-reference's per-GPU semantics at its batch 256,
-two_tower_train_task.py:99-134); the global-negatives path stays the
-canonical GSPMD/fused one (parallel/sharded_train.py).
+all-reduce is implicit and uncompressible). Loss semantics are selected by
+``MeshConfig.compressed_negatives``:
+
+* "local" (default) — each shard's [B/n, B/n] block, exactly the
+  reference's per-GPU semantics at its batch 256
+  (two_tower_train_task.py:99-134). Zero extra wire.
+* "global" — the framework's flagship full-global-batch candidate set,
+  kept under compression by running the per-shard fused CE
+  (ops/fused_logits.make_manual_fused_ce) INSIDE the compressed shard_map:
+  one [B, D] f32 all-gather of the company side per forward + backward
+  (4 MB/step at B=8192, D=128 — against the 5.8 MB/step int16 saves on
+  the flagship's 11.6 MB dense grads, still a clear net reduction), loss
+  numerically equal to the uncompressed GSPMD/fused mesh path.
+
+Sparse-table runs compose too (:func:`make_dp_compressed_sparse_train`):
+the dense tower grads' all-reduce IS compressed (they exist and sync every
+step — ~11.6 MB f32 at the flagship), while the O(batch) id/grad table
+exchange stays exact outside the shard_map (GSPMD on the row-sharded
+tables), fixing the round-4 exclusion's wrong rationale (VERDICT r4 §3).
 """
 
 from __future__ import annotations
@@ -51,6 +65,43 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS
 
 _METHODS = ("none", "int16", "bf16")
+
+
+def resolve_compressed_loss(cfg, axis: str):
+    """(sharded_ce | None, grad_scale) for a compressed-DP step.
+
+    ``MeshConfig.compressed_negatives``:
+
+    * "local" — per-shard [B/n, B/n] CE (reference per-GPU semantics).
+      Each shard's loss is a mean over ITS local batch, so the psum'd
+      gradient needs a 1/n to realize mean-of-shard-means.
+    * "global" — the manual fused CE (ops/fused_logits.make_manual_fused_ce)
+      computes the full global-batch candidate set from inside the
+      shard_map; the loss is already the global mean, each shard's backward
+      yields its partial contribution, and the psum IS the full gradient —
+      scale 1.
+    """
+    if getattr(cfg.mesh, "compressed_negatives", "local") != "global":
+        return None, None  # scale filled in by the caller (1/n_shards)
+    if cfg.loss.loss_type != "cross_entropy":
+        raise ValueError(
+            "compressed_negatives='global' keeps the global in-batch-"
+            "negatives CE under compression; it has no meaning for "
+            f"loss_type={cfg.loss.loss_type!r} — use 'local'"
+        )
+    from jodalrob_twotower_tpu.ops.fused_logits import make_manual_fused_ce
+
+    return (
+        make_manual_fused_ce(
+            axis,
+            temperature=cfg.loss.temperature,
+            label_smoothing=cfg.loss.label_smoothing,
+            # tower outputs are L2-normalized (models/tower.py): static
+            # |logits| <= 1/temperature bound for the lean kernel
+            max_abs_logit=1.0 / cfg.loss.temperature,
+        ),
+        1.0,
+    )
 
 
 def _check_method(method: str, n_shards: int) -> None:
@@ -133,6 +184,9 @@ def make_dp_compressed_train_step(
     axis = DATA_AXIS
     n_shards = mesh.shape[axis]
     _check_method(method, n_shards)
+    sharded_ce, grad_scale = resolve_compressed_loss(cfg, axis)
+    if grad_scale is None:
+        grad_scale = 1.0 / n_shards
     if example_batch.batch_size % n_shards:
         raise ValueError(
             f"the {axis!r} axis ({n_shards}) must divide batch_size "
@@ -168,16 +222,17 @@ def make_dp_compressed_train_step(
         def loss_fn(params):
             return _forward_loss(
                 model, cfg, params, state.batch_stats, batch, dropout_rng,
-                train=True,
+                train=True, sharded_ce=sharded_ce,
             )
 
         (loss, (_, _, _, new_batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         synced, new_err = compressed_psum_tree(grads, err, axis, method)
-        # mean-of-shards semantics: each shard computed mean over its local
-        # batch; the sum over shards needs a 1/n
-        synced = jax.tree.map(lambda g: g / n_shards, synced)
+        # local negatives: each shard computed a mean over its local batch,
+        # so the sum over shards needs a 1/n. Global negatives: the psum of
+        # per-shard partials IS the full gradient (resolve_compressed_loss)
+        synced = jax.tree.map(lambda g: g * grad_scale, synced)
         updates, new_opt_state = tx.update(synced, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if new_batch_stats:
@@ -285,6 +340,9 @@ def make_dp_compressed_indexed_train(
     axis = DATA_AXIS
     n_shards = mesh.shape[axis]
     _check_method(method, n_shards)
+    sharded_ce, grad_scale = resolve_compressed_loss(cfg, axis)
+    if grad_scale is None:
+        grad_scale = 1.0 / n_shards
     b = example_batch.batch_size
     if b % max(n_shards, 1):
         raise ValueError(
@@ -323,14 +381,17 @@ def make_dp_compressed_indexed_train(
         def loss_fn(params):
             return _forward_loss(
                 model, cfg, params, state.batch_stats, batch, dropout_rng,
-                train=True,
+                train=True, sharded_ce=sharded_ce,
             )
 
         (loss, (sim, _, _, new_batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         synced, new_err = compressed_psum_tree(grads, err, axis, method)
-        synced = jax.tree.map(lambda g: g / n_shards, synced)
+        # 1/n for local negatives (mean-of-shard-means); 1 for global
+        # negatives (the psum of partials is the full gradient) — see
+        # resolve_compressed_loss
+        synced = jax.tree.map(lambda g: g * grad_scale, synced)
         updates, new_opt_state = tx.update(synced, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if new_batch_stats:
@@ -421,6 +482,309 @@ def make_dp_compressed_indexed_train(
 
     idx_sharding = NamedSharding(mesh, P(axis, None))
     stack_sharding = NamedSharding(mesh, P(None, axis, None))
+
+    def put_idx(idx):
+        sh = stack_sharding if idx.ndim == 3 else idx_sharding
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, idx)
+        return jax.device_put(idx, sh)
+
+    def put_store(store):
+        from jodalrob_twotower_tpu.parallel.mesh import put_replicated
+
+        return jax.tree.map(lambda x: put_replicated(x, mesh), store)
+
+    return CompressedDPTrain(
+        state=state,
+        err_state=err_state,
+        tx=tx,
+        scan_steps=scan_steps,
+        single_step=single_step,
+        put_idx=put_idx,
+        put_store=put_store,
+        make_sampled=make_sampled,
+    )
+
+
+def make_dp_compressed_sparse_train(
+    model,
+    cfg,
+    mesh,
+    example_batch,
+    total_steps: int,
+    *,
+    method: str = "int16",
+) -> CompressedDPTrain:
+    """Compressed-DP composed with O(batch) SPARSE tables (VERDICT r4 §3a).
+
+    The round-4 exclusion's rationale was wrong: sparse mode has no dense
+    TABLE gradient, but the tower MLP/projection grads (~2.9M params,
+    11.6 MB f32/step at the flagship) still all-reduce every step — over
+    the DCN scenario compression exists for, the 10M-vocab configuration
+    needs it most. Composition (TPU-first, two layers):
+
+    * INSIDE an explicit ``shard_map``: tower forward (embeddings injected
+      via ``emb_overrides``), per-shard loss (local negatives, or global
+      via the manual fused CE — ``MeshConfig.compressed_negatives``),
+      dense grads quantized + psum'd with per-worker error feedback,
+      replicated optax update. Exactly the dense compressed step's wire
+      format.
+    * OUTSIDE the shard_map (GSPMD): the embedding lookup from the
+      ROW-SHARDED tables and the touched-rows rowwise-Adagrad scatter —
+      the id/grad exchange the partitioner already lowers exactly for the
+      uncompressed mesh sparse path (parallel/sharded_sparse.py). The
+      table exchange stays EXACT (f32): its per-step wire is the compact
+      [B·K, D] cotangent routing, not a dense all-reduce, and quantizing
+      it would break the dedup/adagrad equivalence the sparse path
+      guarantees (train/sparse_tables.py).
+
+    Returns the same :class:`CompressedDPTrain` surface as the dense
+    builder, with ``state`` a row-sharded ``SparseTrainState`` and
+    ``err_state`` covering ``dense_params`` only. ``sparse_defer_updates``
+    is rejected by the Trainer (windowed table staleness composed with
+    quantized dense sync has no tested semantics yet).
+    """
+    from jodalrob_twotower_tpu.data.types import PairBatch, default_tower_gather
+    from jodalrob_twotower_tpu.models.embedding import absolute_rows
+    from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+        sparse_state_shardings,
+    )
+    from jodalrob_twotower_tpu.train.loss import compute_loss, resolve_use_fused
+    from jodalrob_twotower_tpu.train.metrics import in_batch_metrics
+    from jodalrob_twotower_tpu.train.optimizer import warmup_constant_schedule
+    from jodalrob_twotower_tpu.train.sparse_tables import (
+        SparseTrainState,
+        create_sparse_train_state,
+        sparse_rowwise_adagrad_update,
+    )
+    from jodalrob_twotower_tpu.train.train_step import dropout_key
+
+    axis = DATA_AXIS
+    n_shards = mesh.shape[axis]
+    _check_method(method, n_shards)
+    sharded_ce, grad_scale = resolve_compressed_loss(cfg, axis)
+    if grad_scale is None:
+        grad_scale = 1.0 / n_shards
+    b = example_batch.batch_size
+    if b % max(n_shards, 1):
+        raise ValueError(
+            f"the {axis!r} axis ({n_shards}) must divide batch_size {b}"
+        )
+
+    state, tx = create_sparse_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed), example_batch, total_steps
+    )
+    shardings = sparse_state_shardings(state, mesh)
+    state = jax.device_put(state, shardings)
+    err_sh = NamedSharding(mesh, P(axis))
+    err_state = jax.tree.map(
+        lambda p: jax.device_put(
+            jnp.zeros((n_shards, *p.shape), jnp.float32), err_sh
+        ),
+        state.dense_params,
+    )
+
+    n_vocabs = model.schema.notice.vocab_sizes
+    c_vocabs = model.schema.company.vocab_sizes
+    emb_dim = cfg.model.categorical_embedding_dim
+    emb_lr = cfg.optimizer.embedding_learning_rate or cfg.optimizer.learning_rate
+    emb_schedule = warmup_constant_schedule(
+        emb_lr, total_steps, cfg.optimizer.warmup_ratio
+    )
+    ada_eps = cfg.optimizer.adagrad_eps
+    dedup = cfg.optimizer.sparse_duplicate_handling == "exact"
+
+    dense_specs = jax.tree.map(lambda _: P(), state.dense_params)
+    opt_specs = jax.tree.map(lambda _: P(), state.opt_state)
+    bs_specs = jax.tree.map(lambda _: P(), state.batch_stats)
+    err_specs = jax.tree.map(lambda _: P(axis), err_state)
+    batch_specs = jax.tree.map(lambda _: P(axis), example_batch)
+
+    _cores: dict[bool, Callable] = {}
+
+    def _core(with_metrics: bool) -> Callable:
+        """Shard-mapped tower step: dense grads compressed, emb cotangents
+        returned batch-sharded for the outside-GSPMD table scatter."""
+        if with_metrics in _cores:
+            return _cores[with_metrics]
+
+        def core(dense_params, opt_state, batch_stats, err, rng, step,
+                 batch, emb_n, emb_c):
+            err = jax.tree.map(lambda e: e[0], err)
+            # per-shard dropout stream (see make_dp_compressed_train_step)
+            dropout_rng = dropout_key(
+                cfg.model,
+                jax.random.fold_in(
+                    jax.random.fold_in(rng, step), jax.lax.axis_index(axis)
+                ),
+            )
+
+            def loss_fn(dp, en, ec):
+                variables = {"params": dp}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"] if batch_stats else False
+                out = model.apply(
+                    variables, batch, train=True, emb_overrides=(en, ec),
+                    rngs={"dropout": dropout_rng}, mutable=mutable,
+                )
+                if mutable:
+                    (n_emb, c_emb), updates = out
+                    new_bs = updates.get("batch_stats", batch_stats)
+                else:
+                    n_emb, c_emb = out
+                    new_bs = batch_stats
+                if sharded_ce is not None:
+                    loss, sim = sharded_ce(n_emb, c_emb), None
+                else:
+                    loss, sim = compute_loss(
+                        cfg.loss.loss_type, n_emb, c_emb,
+                        temperature=cfg.loss.temperature,
+                        label_smoothing=cfg.loss.label_smoothing,
+                        margin=cfg.loss.cosine_margin,
+                        use_fused=resolve_use_fused(cfg.loss),
+                        normalized_inputs=True,
+                    )
+                return loss, (sim, new_bs)
+
+            (loss, (sim, new_bs)), (g_dense, g_en, g_ec) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(dense_params, emb_n, emb_c)
+            synced, new_err = compressed_psum_tree(g_dense, err, axis, method)
+            synced = jax.tree.map(lambda g: g * grad_scale, synced)
+            updates, new_opt = tx.update(synced, opt_state, dense_params)
+            new_dense = optax.apply_updates(dense_params, updates)
+            if new_bs:
+                new_bs = jax.tree.map(lambda s: jax.lax.pmean(s, axis), new_bs)
+            metrics = {"loss": jax.lax.pmean(loss, axis)}
+            if with_metrics and sim is not None:
+                metrics.update(
+                    {k: jax.lax.pmean(v, axis)
+                     for k, v in in_batch_metrics(sim).items()}
+                )
+            # embedding cotangents carry the same objective scaling as the
+            # dense grads (mean-of-shard-means for local negatives; exact
+            # partials for global) — applied here so the outside table
+            # scatter needs no mode awareness
+            g_en = (g_en * grad_scale).astype(jnp.float32)
+            g_ec = (g_ec * grad_scale).astype(jnp.float32)
+            new_err = jax.tree.map(lambda e: e[None], new_err)
+            return new_dense, new_opt, new_bs, new_err, g_en, g_ec, metrics
+
+        _cores[with_metrics] = shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(dense_specs, opt_specs, bs_specs, err_specs, P(), P(),
+                      batch_specs, P(axis), P(axis)),
+            out_specs=(dense_specs, opt_specs, bs_specs, err_specs,
+                       P(axis), P(axis), P()),
+            # replication of the P() outputs holds by construction (psum'd
+            # gradient applied identically everywhere); pallas_call
+            # out_shapes carry no vma annotation
+            check_vma=False,
+        )
+        return _cores[with_metrics]
+
+    gather = default_tower_gather
+
+    def _step(state, err, idx, n_store, c_store, with_metrics):
+        bb = idx.shape[0]
+        batch = PairBatch(
+            notice=gather(n_store, idx[:, 0]),
+            company=gather(c_store, idx[:, 1]),
+        )
+        # lookups OUTSIDE the shard_map: GSPMD lowers the gather from the
+        # row-sharded tables into the exact id/row exchange (same algorithm
+        # as the uncompressed mesh sparse path, parallel/sharded_sparse.py)
+        rows_n = absolute_rows(n_vocabs, batch.notice.cat_ids)
+        rows_c = absolute_rows(c_vocabs, batch.company.cat_ids)
+        emb_n = jnp.take(state.notice_table.table, rows_n, axis=0).reshape(bb, -1)
+        emb_c = jnp.take(state.company_table.table, rows_c, axis=0).reshape(bb, -1)
+        new_dense, new_opt, new_bs, new_err, g_en, g_ec, metrics = _core(
+            with_metrics
+        )(
+            state.dense_params, state.opt_state, state.batch_stats, err,
+            state.rng, state.step, batch, emb_n, emb_c,
+        )
+        # touched-rows rowwise Adagrad — also outside: a GSPMD masked
+        # scatter per shard after the id/update exchange, EXACT (f32)
+        lr_t = emb_schedule(state.step)
+        new_nt = sparse_rowwise_adagrad_update(
+            state.notice_table, rows_n.reshape(-1),
+            g_en.reshape(-1, emb_dim), lr=lr_t, eps=ada_eps, dedup=dedup,
+        )
+        new_ct = sparse_rowwise_adagrad_update(
+            state.company_table, rows_c.reshape(-1),
+            g_ec.reshape(-1, emb_dim), lr=lr_t, eps=ada_eps, dedup=dedup,
+        )
+        new_state = SparseTrainState(
+            step=state.step + 1,
+            dense_params=new_dense,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            notice_table=new_nt,
+            company_table=new_ct,
+            rng=state.rng,
+        )
+        return new_state, new_err, metrics
+
+    idx_sharding = NamedSharding(mesh, P(axis, None))
+    stack_sharding = NamedSharding(mesh, P(None, axis, None))
+    err_shardings = jax.tree.map(lambda _: err_sh, err_state)
+    rep = NamedSharding(mesh, P())
+
+    single_step = jax.jit(
+        lambda st, er, idx, ns, cs: _step(st, er, idx, ns, cs, True),
+        in_shardings=(shardings, err_shardings, idx_sharding,
+                      (rep, rep), (rep, rep)),
+        out_shardings=(shardings, err_shardings, None),
+        donate_argnums=(0, 1),
+    )
+
+    def _scan(state, err, idx_stack, n_store, c_store):
+        def body(carry, idx):
+            st, er = carry
+            st, er, m = _step(st, er, idx, n_store, c_store, False)
+            return (st, er), m["loss"]
+
+        (state, err), losses = jax.lax.scan(body, (state, err), idx_stack)
+        return state, err, {"loss": losses}
+
+    scan_steps = jax.jit(
+        _scan,
+        in_shardings=(shardings, err_shardings, stack_sharding,
+                      (rep, rep), (rep, rep)),
+        out_shardings=(shardings, err_shardings, None),
+        donate_argnums=(0, 1),
+    )
+
+    def make_sampled(k: int):
+        def steps(state, err, sample_key, pairs_dev, n_store, c_store):
+            n_pairs = pairs_dev.shape[0]
+
+            def body(carry, _):
+                st, er = carry
+                # global-batch draw keyed on the global step —
+                # train_step.sampled_scan_fn semantics (replayable,
+                # resume-exact); the batch then shards over the axis
+                key = jax.random.fold_in(sample_key, st.step)
+                rows = jax.random.randint(key, (b,), 0, n_pairs)
+                idx = jnp.take(pairs_dev, rows, axis=0)
+                st, er, m = _step(st, er, idx, n_store, c_store, False)
+                return (st, er), m["loss"]
+
+            (state, err), losses = jax.lax.scan(
+                body, (state, err), None, length=k
+            )
+            return state, err, {"loss": losses}
+
+        return jax.jit(
+            steps,
+            in_shardings=(shardings, err_shardings, None, rep,
+                          (rep, rep), (rep, rep)),
+            out_shardings=(shardings, err_shardings, None),
+            donate_argnums=(0, 1),
+        )
 
     def put_idx(idx):
         sh = stack_sharding if idx.ndim == 3 else idx_sharding

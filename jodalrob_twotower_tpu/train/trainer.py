@@ -95,6 +95,7 @@ class Trainer:
         checkpoint_dir: str | Path | None = None,
         resume: bool = False,
         corpus_eval: bool = True,
+        epoch_corpus_eval: bool = False,
         n_inner: int = 8,
         batch_source=None,
         steps_per_epoch: int | None = None,
@@ -124,11 +125,12 @@ class Trainer:
             # feedback (multi-host DCN; parallel/compressed_grads.py).
             # Loss semantics: LOCAL in-batch negatives per shard — the
             # reference's per-GPU semantics (two_tower_train_task.py:99-134)
-            if cfg.sparse_tables:
+            if cfg.sparse_tables and cfg.sparse_defer_updates:
                 raise ValueError(
-                    "grad_compression applies to the dense-DP step; sparse "
-                    "tables update O(batch) rows without a dense-grad "
-                    "all-reduce to compress — use grad_compression='none'"
+                    "grad_compression with sparse_tables runs per-step "
+                    "table updates; sparse_defer_updates (windowed "
+                    "staleness) composed with quantized dense sync has no "
+                    "tested semantics — disable one of the two"
                 )
             if cfg.mesh.store_sharding != "replicated":
                 raise ValueError(
@@ -146,9 +148,18 @@ class Trainer:
                 )
             from jodalrob_twotower_tpu.parallel.compressed_grads import (
                 make_dp_compressed_indexed_train,
+                make_dp_compressed_sparse_train,
             )
 
-            compressed = make_dp_compressed_indexed_train(
+            # sparse tables COMPOSE with compression (VERDICT r4 §3a): the
+            # dense tower grads' all-reduce is quantized, the O(batch)
+            # id/grad table exchange stays exact (GSPMD, row-sharded)
+            make_compressed = (
+                make_dp_compressed_sparse_train
+                if cfg.sparse_tables
+                else make_dp_compressed_indexed_train
+            )
+            compressed = make_compressed(
                 self.model, cfg, self.mesh, example, total_steps,
                 method=cfg.mesh.grad_compression,
             )
@@ -541,6 +552,16 @@ class Trainer:
                 "examples_per_sec": examples_per_sec,
                 **{f"val_{k}": v for k, v in val.items()},
             }
+            if epoch_corpus_eval and len(val_pairs):
+                # per-epoch corpus-retrieval trajectory (device-resident —
+                # the stores already live in HBM, so this is seconds, not
+                # the host-assembled minutes); drives the committed
+                # headline-run artifact (scripts/train_headline.py)
+                c = self.corpus_eval(state, val_pairs)
+                entry.update(
+                    {f"corpus_recall@{k}": v for k, v in c.recall.items()}
+                )
+                entry["corpus_mrr"] = c.mrr
             history.append(entry)
             if self._metrics_logger is not None:
                 self._metrics_logger.log(int(state.step), entry)

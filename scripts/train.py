@@ -24,6 +24,16 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=Path, help="TrainConfig JSON")
     p.add_argument("--synthetic", action="store_true", help="use synthetic dataset")
+    p.add_argument(
+        "--synthetic-scale",
+        choices=["tiny", "bench"],
+        default="tiny",
+        help="--synthetic size: 'tiny' (10k rows/side, 50k pairs — fast "
+        "smoke) or 'bench' (the headline-bench shape: reference-shaped "
+        "schema, 100k rows/side, 400k pairs, 256 planted clusters — the "
+        "configuration bench.py measures; scripts/train_headline.sh "
+        "drives the committed hardware training artifact with it)",
+    )
     p.add_argument("--data-dir", type=Path, help="parquet dataset directory")
     p.add_argument("--output-dir", type=Path, default=Path("output/models"))
     p.add_argument("--epochs", type=int)
@@ -38,6 +48,24 @@ def parse_args(argv=None):
         "--resume then restarts from the exact step (bit-identical)",
     )
     p.add_argument("--no-corpus-eval", action="store_true")
+    p.add_argument(
+        "--epoch-corpus-eval", action="store_true",
+        help="run the corpus-retrieval eval (recall@10/@100, mrr) every "
+        "epoch and stream it into the per-epoch history / --metrics-jsonl "
+        "(device-resident, seconds per epoch); default: final epoch only",
+    )
+    p.add_argument(
+        "--results-csv", type=Path,
+        help="append per-run result rows here (TrainConfig.results_csv; "
+        "default train_results.csv)",
+    )
+    p.add_argument(
+        "--force-cpu", action="store_true",
+        help="run on the CPU backend regardless of attached accelerators "
+        "(control runs, e.g. the headline-artifact CPU-mesh control — "
+        "scripts/train_headline.py); with --mesh-devices N also requests "
+        "N virtual CPU devices",
+    )
     p.add_argument("--seed", type=int)
     p.add_argument(
         "--stream",
@@ -73,6 +101,25 @@ def parse_args(argv=None):
         "(shapes beyond the envelope still fall back to XLA)",
     )
     p.add_argument(
+        "--compressed-negatives",
+        choices=["local", "global"],
+        help="in-batch-negatives scope under --grad-compression: 'local' "
+        "(default) is the reference's per-GPU semantics (zero extra "
+        "wire); 'global' keeps the flagship full-global-batch candidate "
+        "set via the manual fused CE inside the compressed step (adds a "
+        "[B, D] all-gather per fwd+bwd — ~4 MB/step at the flagship, "
+        "against the 5.8 MB int16 compression saves)",
+    )
+    p.add_argument(
+        "--dropout-rng",
+        choices=["auto", "threefry", "rbg"],
+        help="PRNG impl for dropout masks (ModelConfig.dropout_rng_impl): "
+        "'auto' (default) uses the TPU hardware RngBitGenerator on TPU "
+        "(measured 0.23 ms/step cheaper than threefry at B=8192) and "
+        "threefry elsewhere; literals force one impl (bit-reproducible "
+        "runs within an impl either way)",
+    )
+    p.add_argument(
         "--mesh-devices",
         type=int,
         help="train over an N-device mesh (tables row-sharded, batch dim "
@@ -102,6 +149,24 @@ def parse_args(argv=None):
 def main(argv=None) -> int:
     args = parse_args(argv)
 
+    if args.force_cpu:
+        # must precede backend init; the sandbox pins jax_platforms via
+        # sitecustomize, so the live config (not the env var) is the lever
+        # (same dance as __graft_entry__._ensure_devices)
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        n = args.mesh_devices or 1
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+        import jax
+        from jax._src import xla_bridge
+
+        if not xla_bridge.backends_are_initialized():
+            jax.config.update("jax_platforms", "cpu")
+
     from jodalrob_twotower_tpu.config import TrainConfig
     from jodalrob_twotower_tpu.train.trainer import Trainer
 
@@ -130,10 +195,24 @@ def main(argv=None) -> int:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, sample_on_device=True))
     if args.metrics_jsonl:
         cfg = cfg.replace(metrics_jsonl=str(args.metrics_jsonl))
+    if args.results_csv:
+        cfg = cfg.replace(results_csv=str(args.results_csv))
     if args.fused_logits:
         resolved = {"auto": "auto", "on": True, "off": False}[args.fused_logits]
         cfg = cfg.replace(
             loss=dataclasses.replace(cfg.loss, use_fused_logits=resolved)
+        )
+    if args.compressed_negatives:
+        if args.compressed_negatives != "local" and not args.grad_compression:
+            raise SystemExit("--compressed-negatives requires --grad-compression")
+        cfg = cfg.replace(
+            mesh=dataclasses.replace(
+                cfg.mesh, compressed_negatives=args.compressed_negatives
+            )
+        )
+    if args.dropout_rng:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, dropout_rng_impl=args.dropout_rng)
         )
     if args.store_sharding:
         if not args.mesh_devices:
@@ -153,8 +232,18 @@ def main(argv=None) -> int:
     if args.synthetic or not args.data_dir:
         from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
 
-        print("data: synthetic planted-cluster dataset")
-        ds = make_synthetic_dataset(seed=cfg.seed)
+        if args.synthetic_scale == "bench":
+            from jodalrob_twotower_tpu.schema import reference_shaped_schema
+
+            print("data: synthetic planted-cluster dataset (bench scale)")
+            ds = make_synthetic_dataset(
+                reference_shaped_schema(),
+                n_notices=100_000, n_companies=100_000, n_pairs=400_000,
+                n_clusters=256, seed=cfg.seed,
+            )
+        else:
+            print("data: synthetic planted-cluster dataset")
+            ds = make_synthetic_dataset(seed=cfg.seed)
         schema = ds.schema
         notice_store, company_store, pairs = ds.notice_store, ds.company_store, ds.pairs
     else:
@@ -214,6 +303,7 @@ def main(argv=None) -> int:
             checkpoint_dir=args.output_dir,
             resume=args.resume,
             corpus_eval=not args.no_corpus_eval,
+            epoch_corpus_eval=args.epoch_corpus_eval,
         )
     print(f"done: {result.examples_per_sec:,.0f} examples/s, results appended to {cfg.results_csv}")
     return 0

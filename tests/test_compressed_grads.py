@@ -334,9 +334,10 @@ def test_trainer_grad_compression_e2e(tiny_dataset):
     r_s = trainer_s.train(tr, va[:256], corpus_eval=False)
     assert r_s.history[-1]["train_loss"] < r_s.history[0]["train_loss"]
 
-    # rejected combinations
-    cfg_sp = cfg.replace(sparse_tables=True)
-    with pytest.raises(ValueError, match="grad_compression"):
+    # rejected combinations (sparse_tables itself now COMPOSES — see
+    # test_trainer_compressed_sparse_e2e; only windowed deferral doesn't)
+    cfg_sp = cfg.replace(sparse_tables=True, sparse_defer_updates=True)
+    with pytest.raises(ValueError, match="defer"):
         Trainer(cfg_sp, ds.schema, ds.notice_store, ds.company_store,
                 mesh=mesh, log_fn=lambda s: None).train(
             tr, va[:256], corpus_eval=False)
@@ -393,3 +394,256 @@ def test_dp_compressed_with_batchnorm_and_dropout(tiny_dataset):
     # batch_stats came back replicated (out_specs P()) and finite
     for leaf in jax.tree.leaves(state.batch_stats):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+# ---------------------------------------------------------------------------
+# round 5: global negatives under compression + sparse-table composition
+# ---------------------------------------------------------------------------
+
+
+def _nobn_cfg(**mesh_kw):
+    """Exact-equality config: no BN (per-shard vs global batch statistics
+    differ by construction), no dropout, f32."""
+    from jodalrob_twotower_tpu.config import MeshConfig
+
+    return TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8, dense_projection_dim=16,
+            tower_hidden_dims=(32, 16), final_embedding_dim=8,
+            dropout_rate=0.0, use_batch_norm=False, compute_dtype="float32",
+        ),
+        loss=LossConfig(temperature=0.2, use_fused_logits=False),
+        optimizer=OptimizerConfig(learning_rate=3e-3),
+        data=DataConfig(batch_size=128),
+        mesh=MeshConfig(**mesh_kw),
+        results_csv="",
+    )
+
+
+def test_compressed_global_negatives_matches_gspmd(tiny_dataset):
+    """compressed_negatives='global' with method='none' must equal the
+    uncompressed GSPMD mesh step (global in-batch negatives) — same loss
+    trajectory and same updated params. This is the measured basis for
+    de-siloing compression from the flagship loss (VERDICT r4 §3b): the
+    manual fused CE's all-gather reproduces the GSPMD candidate set
+    exactly, so quantization is the ONLY thing int16/bf16 change."""
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_indexed_train,
+    )
+    from jodalrob_twotower_tpu.parallel.sharded_train import (
+        make_sharded_indexed_train,
+    )
+
+    ds = tiny_dataset
+    cfg = _nobn_cfg(grad_compression="none", compressed_negatives="global")
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+
+    cdp = make_dp_compressed_indexed_train(model, cfg, mesh, example, 100,
+                                           method="none")
+    n_store, c_store = _stores(ds, cdp.put_store)
+    st_c, er_c = cdp.state, cdp.err_state
+
+    st_g, _tx, _scan, single_g, put_idx_g, put_store_g = (
+        make_sharded_indexed_train(model, cfg, mesh, example, 100)
+    )
+    n_g = put_store_g((np.asarray(ds.notice_store.dense),
+                       np.asarray(ds.notice_store.cat_ids)))
+    c_g = put_store_g((np.asarray(ds.company_store.dense),
+                       np.asarray(ds.company_store.cat_ids)))
+
+    for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=5)):
+        idx = idx.astype(np.int32)
+        st_c, er_c, m_c = cdp.single_step(
+            st_c, er_c, cdp.put_idx(idx), n_store, c_store
+        )
+        st_g, m_g = single_g(st_g, put_idx_g(idx), n_g, c_g)
+        assert float(m_c["loss"]) == pytest.approx(float(m_g["loss"]), rel=1e-5)
+        if i >= 2:
+            break
+    for a, b in zip(jax.tree.leaves(st_c.params), jax.tree.leaves(st_g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_compressed_global_negatives_int16_learns(tiny_dataset):
+    """Global negatives + real int16 compression: trains to within a few
+    percent of the exact-sync global control."""
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_indexed_train,
+    )
+
+    ds = tiny_dataset
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+
+    finals = {}
+    for method in ("int16", "none"):
+        cfg = _nobn_cfg(grad_compression=method if method != "none" else "none",
+                        compressed_negatives="global")
+        model = TwoTowerModel(ds.schema, cfg.model)
+        example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+        cdp = make_dp_compressed_indexed_train(model, cfg, mesh, example, 100,
+                                               method=method)
+        n_store, c_store = _stores(ds, cdp.put_store)
+        st, er = cdp.state, cdp.err_state
+        losses = []
+        for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=1)):
+            st, er, m = cdp.single_step(
+                st, er, cdp.put_idx(idx.astype(np.int32)), n_store, c_store
+            )
+            losses.append(float(m["loss"]))
+            if i >= 14:
+                break
+        finals[method] = losses
+    assert finals["int16"][-1] < finals["int16"][0]
+    assert finals["int16"][-1] == pytest.approx(finals["none"][-1], rel=0.05)
+
+
+def test_compressed_sparse_matches_gspmd_sparse(tiny_dataset):
+    """Compressed x sparse composition (VERDICT r4 §3a): with method='none'
+    and global negatives, the compressed sparse step must equal the
+    uncompressed GSPMD sharded sparse step — losses, dense params AND
+    tables (the id/grad exchange stays exact by construction)."""
+    import dataclasses as dc
+
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_sparse_train,
+    )
+    from jodalrob_twotower_tpu.parallel.sharded_sparse import (
+        make_sharded_sparse_train,
+    )
+
+    ds = tiny_dataset
+    cfg = _nobn_cfg(grad_compression="none", compressed_negatives="global")
+    cfg = cfg.replace(sparse_tables=True)
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+
+    cdp = make_dp_compressed_sparse_train(model, cfg, mesh, example, 100,
+                                          method="none")
+    n_store, c_store = _stores(ds, cdp.put_store)
+    st_c, er_c = cdp.state, cdp.err_state
+
+    st_g, single_g, put_idx_g, put_store_g = make_sharded_sparse_train(
+        model, cfg, mesh, example, 100, with_metrics=True
+    )
+    n_g = put_store_g((np.asarray(ds.notice_store.dense),
+                       np.asarray(ds.notice_store.cat_ids)))
+    c_g = put_store_g((np.asarray(ds.company_store.dense),
+                       np.asarray(ds.company_store.cat_ids)))
+
+    for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=7)):
+        idx = idx.astype(np.int32)
+        st_c, er_c, m_c = cdp.single_step(
+            st_c, er_c, cdp.put_idx(idx), n_store, c_store
+        )
+        st_g, m_g = single_g(st_g, put_idx_g(idx), n_g, c_g)
+        assert float(m_c["loss"]) == pytest.approx(float(m_g["loss"]), rel=1e-5)
+        if i >= 2:
+            break
+    for a, b in zip(jax.tree.leaves(st_c.dense_params),
+                    jax.tree.leaves(st_g.dense_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    for tbl_c, tbl_g in ((st_c.notice_table, st_g.notice_table),
+                         (st_c.company_table, st_g.company_table)):
+        np.testing.assert_allclose(np.asarray(tbl_c.table),
+                                   np.asarray(tbl_g.table), rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tbl_c.accumulator),
+                                   np.asarray(tbl_g.accumulator), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_compressed_sparse_int16_learns_and_scans(tiny_dataset):
+    """Sparse x int16: local negatives (the DCN default) learns; the
+    scanned and sampled dispatch forms advance the step counter."""
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_sparse_train,
+    )
+    from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+    ds = tiny_dataset
+    cfg = _nobn_cfg(grad_compression="int16")
+    cfg = cfg.replace(sparse_tables=True)
+    mesh = make_mesh(jax.devices()[:8])
+    tr, _ = ds.split(0.2, seed=0)
+    model = TwoTowerModel(ds.schema, cfg.model)
+    example = assemble_pair_batch(ds.notice_store, ds.company_store, tr[:128])
+
+    cdp = make_dp_compressed_sparse_train(model, cfg, mesh, example, 100,
+                                          method="int16")
+    n_store, c_store = _stores(ds, cdp.put_store)
+    # tables really are row-sharded over the mesh
+    assert not cdp.state.notice_table.table.sharding.is_fully_replicated
+    st, er = cdp.state, cdp.err_state
+    losses = []
+    for i, idx in enumerate(epoch_batches(tr, 128, shuffle=True, seed=2)):
+        st, er, m = cdp.single_step(
+            st, er, cdp.put_idx(idx.astype(np.int32)), n_store, c_store
+        )
+        losses.append(float(m["loss"]))
+        if i >= 11:
+            break
+    assert losses[-1] < losses[0]
+
+    # scan form: 2 inner steps per dispatch
+    stack = cdp.put_idx(np.stack([tr[:128], tr[128:256]]).astype(np.int32))
+    st, er, m = cdp.scan_steps(st, er, stack, n_store, c_store)
+    assert np.asarray(m["loss"]).shape == (2,)
+    # sampled form: key-fed global draws
+    pairs_dev = jax.device_put(tr.astype(np.int32), replicated(mesh))
+    st, er, m = cdp.make_sampled(3)(st, er, jax.random.PRNGKey(0), pairs_dev,
+                                    n_store, c_store)
+    assert np.asarray(m["loss"]).shape == (3,)
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+
+
+def test_trainer_compressed_sparse_e2e(tiny_dataset):
+    """Trainer drives sparse x compression end-to-end (the guard removed in
+    round 5 — VERDICT r4 §3a): trains, learns, eval works via merged
+    params."""
+    import dataclasses as dc
+
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    ds = tiny_dataset
+    tr, va = ds.split(0.2, seed=0)
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = _nobn_cfg(grad_compression="int16")
+    cfg = cfg.replace(
+        sparse_tables=True,
+        optimizer=OptimizerConfig(learning_rate=3e-3, num_epochs=2),
+    )
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store,
+                      mesh=mesh, log_fn=lambda s: None)
+    r = trainer.train(tr, va[:256], corpus_eval=False)
+    assert r.history[-1]["train_loss"] < r.history[0]["train_loss"]
+    assert np.isfinite(r.final_val["loss"])
+
+
+def test_compressed_negatives_config_validation():
+    from jodalrob_twotower_tpu.config import MeshConfig
+
+    assert MeshConfig().compressed_negatives == "local"
+    MeshConfig(compressed_negatives="global")
+    with pytest.raises(ValueError, match="compressed_negatives"):
+        MeshConfig(compressed_negatives="batch")
+
+
+def test_compressed_global_rejects_cosine(tiny_dataset):
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        resolve_compressed_loss,
+    )
+
+    cfg = _nobn_cfg(compressed_negatives="global")
+    import dataclasses as dc
+
+    cfg = cfg.replace(loss=dc.replace(cfg.loss, loss_type="cosine_embedding"))
+    with pytest.raises(ValueError, match="cosine"):
+        resolve_compressed_loss(cfg, "data")
