@@ -629,6 +629,90 @@ def serving_10m_auto(target: float = 0.99) -> None:
         )
 
 
+def serving_calibrated(n_corpus: int = 100_000, target: float = 0.99) -> None:
+    """MEASURED auto-config selection (VERDICT r4 #4) at a given corpus
+    scale: calibrate_serving_config evaluates each candidate's recall@100
+    against the exact scan ON this corpus with a query sample, picks the
+    fastest that meets the target — then the pick is RE-VALIDATED with an
+    independent query sample (different seed), so the emitted ok-flag is an
+    out-of-sample check of the calibration, not a re-read of it."""
+    import jax
+    import jax.numpy as jnp
+
+    from jodalrob_twotower_tpu.serving.autoconfig import (
+        calibrate_serving_config,
+        measured_recall_at_k,
+    )
+    from jodalrob_twotower_tpu.serving.index import (
+        BruteForceIndex,
+        Int8Index,
+    )
+
+    d = 128
+    chunk = 262_144
+    n_chunks = -(-n_corpus // chunk)
+
+    @jax.jit
+    def gen(key):
+        # clustered directions (64 planted centers + noise): int8/approx
+        # recall behavior is distribution-dependent — iid-normal corpora
+        # are artificially easy, clusters create the near-tie neighborhoods
+        # real embeddings have
+        kc, kx, ka = jax.random.split(key, 3)
+        centers = jax.random.normal(jax.random.PRNGKey(7), (64, d), jnp.float32)
+        assign = jax.random.randint(ka, (chunk,), 0, 64)
+        x = jnp.take(centers, assign, axis=0) + 0.3 * jax.random.normal(
+            kx, (chunk, d), jnp.float32
+        )
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    parts = [gen(jax.random.PRNGKey(i)) for i in range(n_chunks)]
+    corpus = jnp.concatenate(parts)[:n_corpus]
+    del parts
+
+    def sample_queries(seed: int, n: int = 2048):
+        rows = np.random.default_rng(seed).integers(0, n_corpus, size=n)
+        q = jnp.take(corpus, jnp.asarray(rows), axis=0)
+        q = q + 0.05 * jax.random.normal(jax.random.PRNGKey(seed), q.shape)
+        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+    corpus_chunk = chunk if n_corpus > chunk else None
+    t0 = time.perf_counter()
+    chosen, measured = calibrate_serving_config(
+        target, corpus, sample_queries(0), k=100, corpus_chunk=corpus_chunk
+    )
+    calib_s = time.perf_counter() - t0
+
+    # out-of-sample validation with an independent query draw
+    if chosen.index_kind == "exact":
+        validated = 1.0
+    else:
+        q2 = sample_queries(1)
+        exact = BruteForceIndex(corpus, corpus_chunk=corpus_chunk)
+        exact_idx = exact.search(q2, 100).indices
+        idx = Int8Index(
+            corpus, corpus_chunk=corpus_chunk,
+            approx_recall=chosen.approx_recall,
+            rescore_depth=chosen.rescore_depth,
+            rescore_dtype=chosen.rescore_dtype,
+        )
+        validated = measured_recall_at_k(idx, exact_idx, q2, 100)
+    ok = validated >= target - 0.005
+    _emit(
+        f"serving_calibrated_{n_corpus}",
+        target_recall=target,
+        chosen=" ".join(chosen.cli_flags()),
+        measured={k_: round(v, 4) for k_, v in measured.items()},
+        validated_recall=round(validated, 4),
+        calibration_seconds=round(calib_s, 2),
+        ok=bool(ok),
+    )
+    if not ok:
+        raise RuntimeError(
+            f"calibrated config missed target out-of-sample: {validated} < {target}"
+        )
+
+
 def fused_ce_paths(b: int = 8192, d: int = 128, tau: float = 1.0,
                    include_xla: bool = True, eps: float = 0.0) -> None:
     """Loss-path comparison ON THE REAL CHIP: XLA [B,B] materializing path
@@ -794,6 +878,8 @@ BENCHES = {
     "serving_int8_10m_k10_pd4": lambda: serving_10m("int8", k=10, pipeline_depth=4),
     "serving_int8_10m_pd4": lambda: serving_10m("int8", pipeline_depth=4),
     "serving_10m_auto099": lambda: serving_10m_auto(0.99),
+    "serving_calibrated_100k": lambda: serving_calibrated(100_000, 0.99),
+    "serving_calibrated_10m": lambda: serving_calibrated(10_000_000, 0.99),
     "serving_sharded_mesh": serving_sharded_mesh,
     "train_rowsharded_store": train_rowsharded_store,
     "fused_ce_paths": fused_ce_paths,

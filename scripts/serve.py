@@ -72,8 +72,6 @@ def main(argv=None) -> int:
     args = parse_args(argv)
 
     if args.target_recall is not None:
-        from jodalrob_twotower_tpu.serving.autoconfig import choose_serving_config
-
         manual = [
             name for name, val, default in (
                 ("--index", args.index, "int8"),
@@ -87,17 +85,9 @@ def main(argv=None) -> int:
                 "--target-recall picks the index configuration itself; drop "
                 + ", ".join(manual or ["--load-index"])
             )
-        chosen = choose_serving_config(args.target_recall, k=args.k)
-        args.index = chosen.index_kind
-        args.approx_recall = chosen.approx_recall
-        args.rescore_depth = chosen.rescore_depth
-        args.rescore_dtype = chosen.rescore_dtype
-        print(
-            f"auto-config for recall>={args.target_recall}: {chosen.note} "
-            f"(expected recall@100 {chosen.expected_recall}; equivalent to "
-            + " ".join(chosen.cli_flags()) + ")",
-            file=sys.stderr,
-        )
+        # the actual selection is MEASURED against the built corpus below
+        # (serving/autoconfig.calibrate_serving_config) — the hardcoded
+        # frontier supplies only the candidate ordering
 
     import jax
 
@@ -138,6 +128,43 @@ def main(argv=None) -> int:
     )
     state = FrozenState(**restored)
 
+    precomputed_emb = None
+    if args.target_recall is not None:
+        from jodalrob_twotower_tpu.evaluation.evaluator import Evaluator
+        from jodalrob_twotower_tpu.serving.autoconfig import (
+            calibrate_serving_config,
+        )
+
+        ev = Evaluator(model, cfg)
+        # encode ONCE; the service below reuses these embeddings
+        precomputed_emb = ev.encode_corpus(
+            state, company_store.dense, company_store.cat_ids, side="company"
+        )
+        rng = np.random.default_rng(0)
+        n_sample = min(2048, len(notice_store))
+        rows = np.sort(rng.choice(len(notice_store), size=n_sample,
+                                  replace=False))
+        query_emb = ev.encode_corpus(
+            state, notice_store.dense[rows], notice_store.cat_ids[rows],
+            side="notice",
+        )
+        chosen, measured = calibrate_serving_config(
+            args.target_recall, precomputed_emb, query_emb, k=args.k,
+            corpus_chunk=args.corpus_chunk,
+        )
+        args.index = chosen.index_kind
+        args.approx_recall = chosen.approx_recall
+        args.rescore_depth = chosen.rescore_depth
+        args.rescore_dtype = chosen.rescore_dtype
+        print(
+            f"auto-config for recall>={args.target_recall} (measured on "
+            f"{len(company_store):,} corpus rows, {n_sample} sample "
+            f"queries, k={args.k}): {chosen.note} — measured recall@{args.k} "
+            + ", ".join(f"{n}: {r:.4f}" for n, r in measured.items())
+            + "; equivalent to " + " ".join(chosen.cli_flags()),
+            file=sys.stderr,
+        )
+
     prebuilt = load_index(args.load_index) if args.load_index else None
     if prebuilt is not None:
         # a loaded index keeps its saved settings; accepting these flags
@@ -164,6 +191,7 @@ def main(argv=None) -> int:
         approx_recall=args.approx_recall,
         rescore_depth=args.rescore_depth,
         rescore_dtype=args.rescore_dtype,
+        precomputed_corpus_emb=precomputed_emb,
         prebuilt_index=prebuilt,
     )
     print(f"index: {args.index if prebuilt is None else 'loaded'} over "

@@ -436,3 +436,68 @@ def test_choose_serving_config():
 
     flags = choose_serving_config(0.99).cli_flags()
     assert "--approx-recall" in flags and "--rescore-depth" in flags
+
+
+def test_calibrate_serving_config_measures_on_the_index(rng):
+    """calibrate_serving_config (VERDICT r4 #4): the selection is a
+    MEASUREMENT on the given corpus/queries, not the hardcoded table —
+    a candidate that genuinely loses recall on this corpus is skipped and
+    an unreachable target falls back to the exact scan."""
+    from jodalrob_twotower_tpu.serving.autoconfig import (
+        ServingConfig,
+        calibrate_serving_config,
+    )
+
+    d = 32
+    # near-tie corpus: one direction + per-row noise far below the int8
+    # quantization step, so plain int8 scrambles the exact ordering
+    base = rng.normal(size=(d,)).astype(np.float32)
+    base /= np.linalg.norm(base)
+    corpus = base[None, :] + 1e-5 * rng.normal(size=(4096, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = base[None, :] + 1e-5 * rng.normal(size=(64, d)).astype(np.float32)
+    queries = (queries / np.linalg.norm(queries, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+
+    lossy = ServingConfig("int8", None, None, "int8", 0.99, "plain int8")
+    exact = ServingConfig("exact", None, None, "int8", 1.0, "exact scan")
+    curve = (lossy, exact)
+
+    chosen, measured = calibrate_serving_config(
+        0.999, corpus, queries, k=10, curve=curve
+    )
+    # int8 rounding destroyed the near-tie ordering: measured well below
+    # the candidate's table value, so the target is unreachable -> exact
+    assert measured["plain int8"] < 0.9
+    assert chosen.index_kind == "exact"
+
+    # a target below the measured value IS met by the candidate; the
+    # chosen config carries its measured (not tabled) recall. On this
+    # corpus the scramble is near-total (recall ~ k/N), so any tiny
+    # positive target exercises the acceptance branch.
+    chosen2, measured2 = calibrate_serving_config(
+        1e-4, corpus, queries, k=10, curve=curve
+    )
+    assert chosen2.index_kind == "int8"
+    assert chosen2.expected_recall == pytest.approx(
+        measured2["plain int8"], abs=1e-6
+    )
+
+
+def test_calibrate_serving_config_default_curve(rng):
+    """On a well-separated corpus the default curve's first candidate
+    (rescore-400 over approx 0.90) measures ~1.0 at small scale and wins."""
+    from jodalrob_twotower_tpu.serving.autoconfig import (
+        calibrate_serving_config,
+    )
+
+    corpus = rng.normal(size=(2048, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[rng.choice(2048, size=128, replace=False)]
+    chosen, measured = calibrate_serving_config(0.95, corpus, queries, k=10)
+    assert chosen.index_kind == "int8"
+    assert chosen.rescore_depth == 400
+    assert measured[chosen.note] >= 0.95
+    with pytest.raises(ValueError, match="target_recall"):
+        calibrate_serving_config(0.0, corpus, queries, k=10)
