@@ -93,7 +93,18 @@ def build_optimizer(
     emb_lr = cfg.embedding_learning_rate or cfg.learning_rate
     emb_schedule = warmup_constant_schedule(emb_lr, total_steps, cfg.warmup_ratio)
 
-    dense_tx = optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay)
+    mu_dtype = (
+        jnp.bfloat16
+        if getattr(cfg, "adam_moment_dtype", "float32") == "bfloat16"
+        else None
+    )
+    # mu only: nu's b2=0.999 EMA increments (~1e-3 relative) sit below
+    # bf16's mantissa granularity (~4e-3) — a bf16 nu freezes instead of
+    # accumulating (measured, BENCHMARKS.md "bf16 optimizer moments")
+    dense_tx = optax.adamw(
+        learning_rate=schedule, weight_decay=cfg.weight_decay,
+        mu_dtype=mu_dtype,
+    )
     if cfg.embedding_optimizer == "rowwise_adagrad":
         table_tx = optax.chain(
             rowwise_adagrad(
