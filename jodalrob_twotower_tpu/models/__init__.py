@@ -60,4 +60,23 @@ def build_model(schema, cfg, mesh=None) -> TwoTowerModel:
             "(ShardedDenseGradLookup runs the kernel per shard) or "
             "embedding_lookup='auto'"
         )
+    if (
+        cfg.model.embedding_lookup == "onehot"
+        and mode == "gspmd_rows"
+        and mesh is not None
+        and mesh.size > 1
+    ):
+        # static form of the runtime check in models/embedding.py (which
+        # only fires on real multi-device TPU): GSPMD cannot partition the
+        # Pallas call over a row-sharded table, and a ROW-SHARDED one-hot
+        # forward is a measured loss anyway — same per-shard MXU work as
+        # the replicated form but adds a [B, K, D] psum every step where
+        # replicated needs no collective (BENCHMARKS.md "one-hot forward
+        # under row-sharded tables", round 5)
+        raise ValueError(
+            "embedding_lookup='onehot' cannot run under "
+            "embedding_sharding='gspmd_rows' on a multi-device mesh — use "
+            "'replicated' (the kernel runs per shard, zero collectives) or "
+            "embedding_lookup='auto'"
+        )
     return TwoTowerModel(schema, cfg.model, cfg.mesh.use_pallas_lookup, lookup_fn)

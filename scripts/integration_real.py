@@ -155,6 +155,37 @@ def phase_real_hf_text() -> bool | None:
     return True
 
 
+def phase_default_train() -> bool | None:
+    """Keep the gated script wired to the CURRENT defaults (VERDICT r4 #7):
+    a tiny end-to-end Trainer run on a plain default-resolved TrainConfig —
+    every round-5 "auto" knob (fused CE, rbg dropout, one-hot lookup, bf16
+    stores) resolves for the attached backend, so the day the PG/HF gates
+    open, the features they produce feed exactly the shipped defaults.
+    Runs only when at least one gate opened (offline stays a pure skip —
+    the hermetic suite asserts that); cheap (tiny synthetic set, 1 epoch)."""
+    import dataclasses
+
+    from jodalrob_twotower_tpu.config import DataConfig, TrainConfig
+    from jodalrob_twotower_tpu.data.synthetic import make_synthetic_dataset
+    from jodalrob_twotower_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        data=DataConfig(batch_size=256), results_csv="",
+    )
+    ds = make_synthetic_dataset(seed=0, n_notices=2048, n_companies=2048,
+                                n_pairs=8192)
+    tr, va = ds.split(0.2, seed=0)
+    trainer = Trainer(cfg, ds.schema, ds.notice_store, ds.company_store,
+                      log_fn=lambda s: None)
+    res = trainer.train(tr, va, corpus_eval=False)
+    ok = bool(np.isfinite(res.history[-1]["train_loss"]) and
+              np.isfinite(res.final_val.get("loss", np.nan)))
+    _emit("default_train", "ok" if ok else "failed",
+          train_loss=round(res.history[-1]["train_loss"], 4),
+          val_loss=round(res.final_val["loss"], 4))
+    return ok
+
+
 def main() -> int:
     results = []
     for phase in (phase_live_pg, phase_real_hf_text):
@@ -163,6 +194,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - a RUN phase failing is a failure
             _emit(phase.__name__.removeprefix("phase_"), "failed", error=str(e))
             results.append(False)
+    if any(r is True for r in results):
+        try:
+            results.append(phase_default_train())
+        except Exception as e:  # noqa: BLE001
+            _emit("default_train", "failed", error=str(e))
+            results.append(False)
+    else:
+        _emit("default_train", "skipped",
+              reason="no environment gate opened (offline)")
     return 1 if any(r is False for r in results) else 0
 
 

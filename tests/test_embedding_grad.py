@@ -315,3 +315,21 @@ def test_bmajor_grad_matches_transposed(rng, b, k, d):
         rows, g, total_rows=total_rows, tile_feature=tf, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_forced_onehot_rejects_gspmd_rows(tiny_dataset):
+    """Forced 'onehot' + embedding_sharding='gspmd_rows' on a multi-device
+    mesh: loud static rejection in build_model (VERDICT r4 #6 — previously
+    only the runtime device-count check fired, and only on real TPU)."""
+    from jodalrob_twotower_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from jodalrob_twotower_tpu.models import build_model
+    from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+
+    ds = tiny_dataset
+    cfg = TrainConfig(
+        model=ModelConfig(embedding_lookup="onehot"),
+        mesh=MeshConfig(embedding_sharding="gspmd_rows"),
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="gspmd_rows"):
+        build_model(ds.schema, cfg, mesh=mesh)

@@ -186,5 +186,7 @@ def test_integration_real_skips_cleanly_offline(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-1000:]
     lines = [json.loads(l) for l in proc.stdout.splitlines()]
-    assert {l["phase"] for l in lines} == {"live_pg", "real_hf_text"}
+    assert {l["phase"] for l in lines} == {
+        "live_pg", "real_hf_text", "default_train"
+    }
     assert all(l["status"] == "skipped" for l in lines)
