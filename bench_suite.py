@@ -650,31 +650,30 @@ def serving_calibrated(n_corpus: int = 100_000, target: float = 0.99) -> None:
 
     d = 128
     chunk = 262_144
-    n_chunks = -(-n_corpus // chunk)
 
-    @jax.jit
-    def gen(key):
-        # clustered directions (64 planted centers + noise): int8/approx
-        # recall behavior is distribution-dependent — iid-normal corpora
-        # are artificially easy, clusters create the near-tie neighborhoods
-        # real embeddings have
-        kc, kx, ka = jax.random.split(key, 3)
-        centers = jax.random.normal(jax.random.PRNGKey(7), (64, d), jnp.float32)
-        assign = jax.random.randint(ka, (chunk,), 0, 64)
-        x = jnp.take(centers, assign, axis=0) + 0.3 * jax.random.normal(
-            kx, (chunk, d), jnp.float32
-        )
-        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
-
-    parts = [gen(jax.random.PRNGKey(i)) for i in range(n_chunks)]
-    corpus = jnp.concatenate(parts)[:n_corpus]
-    del parts
+    # HOST-side clustered corpus (64 planted centers + noise — iid-normal
+    # corpora are artificially easy for int8/approx; clusters create the
+    # near-tie neighborhoods real embeddings have). Host-side because a
+    # resident f32 corpus at 10M x 128 (5 GB) plus ANY corpus-scale index
+    # copy exceeds this chip's usable HBM (measured OOM) — exactly the
+    # regime real 10M deployments are in, where the corpus lives on host
+    # and each index uploads only its own representation (int8 1.25 GB,
+    # bf16 rescore 2.5 GB, or the exact scan's chunked f32, built LAST and
+    # alone by calibrate_serving_config's ordering).
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    corpus = np.empty((n_corpus, d), np.float32)
+    for lo in range(0, n_corpus, chunk):
+        hi = min(lo + chunk, n_corpus)
+        assign = rng.integers(0, 64, size=hi - lo)
+        x = centers[assign] + 0.3 * rng.normal(size=(hi - lo, d)).astype(np.float32)
+        corpus[lo:hi] = x / np.linalg.norm(x, axis=1, keepdims=True)
 
     def sample_queries(seed: int, n: int = 2048):
-        rows = np.random.default_rng(seed).integers(0, n_corpus, size=n)
-        q = jnp.take(corpus, jnp.asarray(rows), axis=0)
-        q = q + 0.05 * jax.random.normal(jax.random.PRNGKey(seed), q.shape)
-        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        qrng = np.random.default_rng(seed)
+        rows = qrng.integers(0, n_corpus, size=n)
+        q = corpus[rows] + 0.05 * qrng.normal(size=(n, d)).astype(np.float32)
+        return jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
 
     corpus_chunk = chunk if n_corpus > chunk else None
     t0 = time.perf_counter()
@@ -688,8 +687,13 @@ def serving_calibrated(n_corpus: int = 100_000, target: float = 0.99) -> None:
         validated = 1.0
     else:
         q2 = sample_queries(1)
-        exact = BruteForceIndex(corpus, corpus_chunk=corpus_chunk)
-        exact_idx = exact.search(q2, 100).indices
+        from jodalrob_twotower_tpu.serving.autoconfig import (
+            _exact_topk_streamed,
+        )
+
+        # streamed exact reference: nothing corpus-sized resident (HBM —
+        # see calibrate_serving_config's discipline note)
+        exact_idx = _exact_topk_streamed(corpus, q2, 100, chunk)
         idx = Int8Index(
             corpus, corpus_chunk=corpus_chunk,
             approx_recall=chosen.approx_recall,

@@ -119,6 +119,49 @@ def measured_recall_at_k(index, exact_indices: np.ndarray, query_emb,
     return hits / (exact_indices.shape[0] * k)
 
 
+def _exact_topk_streamed(corpus_np: np.ndarray, query_emb, k: int,
+                         chunk: int) -> np.ndarray:
+    """Exact top-k indices [Q, k] with the corpus STREAMED from host in
+    ``chunk``-row slices — nothing corpus-sized ever resident in HBM.
+
+    The resident-f32 exact index (5 GB at 10M x 128) plus any candidate
+    OOMs the bench chip; streaming pays one 5 GB H2D pass (~50 s at the
+    tunnel's ~100 MB/s) against zero residency — the right trade for a
+    one-time calibration. A device-carried running top-k merges each
+    chunk's local top-k, so the wire returns only [Q, k] at the end.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    q = jnp.asarray(query_emb, jnp.float32)
+
+    n = corpus_np.shape[0]
+    neg = float(np.finfo(np.float32).min)
+
+    @jax.jit
+    def merge(best_s, best_i, block, row0, n_valid):
+        s = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
+        # tail-chunk padding rows are unselectable
+        s = jnp.where(jnp.arange(block.shape[0])[None, :] < n_valid, s, neg)
+        ls, li = jax.lax.top_k(s, k)
+        cs = jnp.concatenate([best_s, ls], axis=1)
+        ci = jnp.concatenate([best_i, li + row0], axis=1)
+        ms, sel = jax.lax.top_k(cs, k)
+        return ms, jnp.take_along_axis(ci, sel, axis=1)
+
+    best_s = jnp.full((q.shape[0], k), neg, jnp.float32)
+    best_i = jnp.zeros((q.shape[0], k), jnp.int32)
+    for lo in range(0, n, chunk):
+        block = np.ascontiguousarray(corpus_np[lo : lo + chunk])
+        n_valid = block.shape[0]
+        if n_valid < chunk:
+            pad = np.zeros((chunk - n_valid, block.shape[1]), block.dtype)
+            block = np.concatenate([block, pad])
+        best_s, best_i = merge(best_s, best_i, jnp.asarray(block),
+                               jnp.int32(lo), jnp.int32(n_valid))
+    return np.asarray(best_i)
+
+
 def calibrate_serving_config(
     target_recall: float,
     corpus_emb,
@@ -150,12 +193,14 @@ def calibrate_serving_config(
         raise ValueError(
             f"target_recall must be in (0, 1], got {target_recall}"
         )
-    exact = BruteForceIndex(
-        corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk
-    )
-    exact_idx = exact.search(query_emb, k).indices
-    measured: dict[str, float] = {}
-    chosen = None
+    # HBM discipline (a 10M x 128 f32 corpus is 5 GB; the bench chip OOMs
+    # with it resident next to any corpus-scale copy): candidate indexes
+    # run first, each freed after its search; the exact reference then
+    # either builds its chunked index (device corpora — small enough to
+    # have been resident at all) or STREAMS the scan from host chunks
+    # (numpy corpora — the 10M regime), keeping nothing corpus-sized
+    # resident.
+    cand_results: list[tuple[ServingConfig, np.ndarray]] = []
     for cand in curve:
         if cand.index_kind == "exact":
             continue
@@ -165,13 +210,33 @@ def calibrate_serving_config(
             rescore_depth=cand.rescore_depth,
             rescore_dtype=cand.rescore_dtype,
         )
-        r = measured_recall_at_k(idx, exact_idx, query_emb, k)
+        cand_results.append((cand, np.asarray(idx.search(query_emb, k).indices)))
+        del idx
+    import jax
+
+    if isinstance(corpus_emb, jax.Array):
+        exact = BruteForceIndex(
+            corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk
+        )
+        exact_idx = np.asarray(exact.search(query_emb, k).indices)
+        del exact
+    else:
+        exact_idx = _exact_topk_streamed(
+            np.asarray(corpus_emb, np.float32), query_emb, k,
+            corpus_chunk or 262_144,
+        )
+    measured: dict[str, float] = {}
+    chosen = None
+    nq = exact_idx.shape[0]
+    for cand, got in cand_results:
+        hits = sum(
+            len(np.intersect1d(g, e)) for g, e in zip(got, exact_idx)
+        )
+        r = hits / (nq * k)
         measured[cand.note] = r
         if chosen is None and r >= target_recall - _RECALL_TOLERANCE:
+            # fastest-first order: the first measured hit is the answer
             chosen = dataclasses.replace(cand, expected_recall=round(r, 6))
-            # keep measuring the rest? No — fastest-first order means the
-            # first hit is the answer; later candidates are strictly slower
-            break
     measured["exact"] = 1.0
     if chosen is None:
         chosen = curve[-1]

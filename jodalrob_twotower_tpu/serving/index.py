@@ -376,16 +376,32 @@ class Int8Index:
         return v, s
 
 
+def _quantize_int8_fused(corpus):
+    amax = jnp.max(jnp.abs(corpus), axis=1, keepdims=True)
+    scales = (amax / 127.0).astype(jnp.float32)
+    safe = jnp.where(scales > 0, scales, jnp.ones_like(scales))
+    values = jnp.clip(jnp.round(corpus / safe), -127, 127).astype(jnp.int8)
+    return values, scales
+
+
+_quantize_int8_jit = jax.jit(_quantize_int8_fused)
+
+
 def quantize_int8(corpus):
     """Row-wise symmetric int8: values [N, D] int8, scales [N, 1] f32.
 
-    Works on host numpy or device jax arrays (device path never leaves HBM).
+    Works on host numpy or device jax arrays. The device path runs under
+    ONE jit so XLA fuses the divide/round/clip/cast chain — eager ops each
+    materialize a corpus-sized f32 temp, which at 10M x 128 (5 GB apiece)
+    OOMs HBM next to the corpus itself (hit by the round-5 10M
+    calibration bench).
     """
-    xp = _xp(corpus)
-    amax = xp.max(xp.abs(corpus), axis=1, keepdims=True)
-    scales = (amax / 127.0).astype(xp.float32)
-    safe = xp.where(scales > 0, scales, xp.ones_like(scales))
-    values = xp.clip(xp.round(corpus / safe), -127, 127).astype(xp.int8)
+    if isinstance(corpus, jax.Array):
+        return _quantize_int8_jit(corpus)
+    amax = np.max(np.abs(corpus), axis=1, keepdims=True)
+    scales = (amax / 127.0).astype(np.float32)
+    safe = np.where(scales > 0, scales, np.ones_like(scales))
+    values = np.clip(np.round(corpus / safe), -127, 127).astype(np.int8)
     return values, scales
 
 

@@ -190,6 +190,34 @@ def worker(process_id: int, num_processes: int) -> None:
     )
     compressed_loss = float(res_c.history[-1]["train_loss"])
 
+    # ---- compressed-DP x GLOBAL negatives across processes (round 5) -----
+    # the manual fused CE (ops/fused_logits.make_manual_fused_ce) inside
+    # the compressed shard_map, with the candidate set spanning BOTH
+    # processes' batch shards: its loss must match the GSPMD global-
+    # negatives step on the same first batch
+    cfg_cg = cfg.replace(
+        results_csv="",
+        mesh=dataclasses.replace(
+            cfg.mesh, grad_compression="none", compressed_negatives="global"
+        ),
+    )
+    from jodalrob_twotower_tpu.parallel.compressed_grads import (
+        make_dp_compressed_indexed_train,
+    )
+
+    cdp = make_dp_compressed_indexed_train(model, cfg_cg, mesh, example, 10,
+                                           method="none")
+    n_cg = cdp.put_store((np.asarray(ds.notice_store.dense),
+                          np.asarray(ds.notice_store.cat_ids)))
+    c_cg = cdp.put_store((np.asarray(ds.company_store.dense),
+                          np.asarray(ds.company_store.cat_ids)))
+    # same first-batch rows as the GSPMD leg: each process feeds its slice
+    local_idx = my_pairs[:local_b].astype(np.int32)
+    _, _, m_cg = cdp.single_step(
+        cdp.state, cdp.err_state, cdp.put_idx(local_idx), n_cg, c_cg
+    )
+    compressed_global_loss = float(m_cg["loss"])
+
     # ---- rows-sharded store across processes (ADVICE r4 low #3) ----------
     # put_row_sharded_store's multi-process branch assembles the global
     # array via make_array_from_callback (each process uploads only its
@@ -233,6 +261,10 @@ def worker(process_id: int, num_processes: int) -> None:
         "store_rows_on_this_host": int(rows_local),
         "store_rows_global": int(rstore[0].shape[0]),
         "store_gather_exact": store_gather_exact,
+        "compressed_global_loss": round(compressed_global_loss, 6),
+        "compressed_global_matches_gspmd": bool(
+            abs(compressed_global_loss - losses[0]) < 1e-3
+        ),
     }), flush=True)
 
 
@@ -272,6 +304,11 @@ def main() -> int:
     # exchange equals a host-side gather (multi-process placement path)
     assert outs[0]["store_rows_on_this_host"] * n == outs[0]["store_rows_global"]
     assert all(o["store_gather_exact"] for o in outs), outs
+    # compressed-DP with GLOBAL negatives: the manual fused CE's candidate
+    # set spans both processes and matches the GSPMD loss, identically on
+    # every process
+    assert all(o["compressed_global_matches_gspmd"] for o in outs), outs
+    assert outs[0]["compressed_global_loss"] == outs[1]["compressed_global_loss"], outs
     print(json.dumps({"bench": "multihost_smoke", "ok": True, **outs[0]}))
     return 0
 

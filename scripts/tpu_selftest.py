@@ -144,6 +144,46 @@ def check_fused_ce_grads(b: int = 8192, d: int = 128, eps: float = 0.0) -> None:
              loss_rel_err=float(err), b=b, d=d)
 
 
+def check_manual_fused_ce(b: int = 8192, d: int = 128) -> None:
+    """make_manual_fused_ce (the per-shard custom_vjp form the compressed-DP
+    steps call INSIDE their shard_map, round 5) on hardware: loss + grads
+    from within a 1-device-mesh shard_map must match the single-device
+    fused CE (same kernels, degenerate collectives)."""
+    from jax.sharding import PartitionSpec as P
+
+    from jodalrob_twotower_tpu.ops.fused_logits import (
+        fused_bidirectional_ce,
+        make_manual_fused_ce,
+    )
+    from jodalrob_twotower_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    n, c = _embeddings(b, d, jax.random.PRNGKey(9))
+    tau = 0.3
+    mesh = make_mesh(jax.devices()[:1])
+    manual = make_manual_fused_ce(DATA_AXIS, temperature=tau,
+                                  max_abs_logit=1.0 / tau)
+
+    def core(nl, cl):
+        return jax.value_and_grad(manual, argnums=(0, 1))(nl, cl)
+
+    sm = jax.jit(jax.shard_map(
+        core, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), (P(DATA_AXIS), P(DATA_AXIS))), check_vma=False,
+    ))
+    lm, (gn_m, gc_m) = sm(n, c)
+
+    def single(nn, cc):
+        return fused_bidirectional_ce(nn, cc, tau, 0.0, False, 1.0 / tau)
+
+    ls, (gn_s, gc_s) = jax.value_and_grad(single, argnums=(0, 1))(n, c)
+    loss_err = rel_err(jax.device_get(lm), jax.device_get(ls))
+    gn_norm = float(jnp.linalg.norm(gn_m - gn_s) / jnp.linalg.norm(gn_s))
+    gc_norm = float(jnp.linalg.norm(gc_m - gc_s) / jnp.linalg.norm(gc_s))
+    ok = loss_err < 1e-4 and gn_norm < 1e-2 and gc_norm < 1e-2
+    emit("manual_fused_ce_vs_single_device", ok, loss_rel_err=loss_err,
+         gn_norm_rel_err=gn_norm, gc_norm_rel_err=gc_norm, b=b, d=d)
+
+
 def check_dense_table_grad(b: int = 8192, k: int = 32) -> None:
     from jodalrob_twotower_tpu.models.embedding import table_layout, tile_feature_map
     from jodalrob_twotower_tpu.ops.embedding_grad import dense_table_grad
@@ -252,6 +292,7 @@ def main() -> None:
     check_fused_ce_grads(b=16384, eps=0.0)  # col-blocked lean kernels
     check_fused_ce_grads(b=16384, eps=0.1)  # col-blocked stats fwd + eps bwd
     check_blocked_large()            # B=32768: beyond the XLA reference
+    check_manual_fused_ce()          # compressed-DP's in-shard_map CE form
     check_dense_table_grad()
     check_onehot_lookup()
     check_pallas_gather()

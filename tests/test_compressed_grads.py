@@ -626,6 +626,14 @@ def test_trainer_compressed_sparse_e2e(tiny_dataset):
     assert r.history[-1]["train_loss"] < r.history[0]["train_loss"]
     assert np.isfinite(r.final_val["loss"])
 
+    # sampled-on-device x sparse x compression (key-fed dispatches)
+    cfg_s = cfg.replace(data=dc.replace(cfg.data, sample_on_device=True))
+    trainer_s = Trainer(cfg_s, ds.schema, ds.notice_store, ds.company_store,
+                        mesh=mesh, log_fn=lambda s: None)
+    r_s = trainer_s.train(tr, va[:256], corpus_eval=False)
+    assert np.isfinite(r_s.history[-1]["train_loss"])
+    assert r_s.history[-1]["train_loss"] < r_s.history[0]["train_loss"]
+
 
 def test_compressed_negatives_config_validation():
     from jodalrob_twotower_tpu.config import MeshConfig
