@@ -108,15 +108,22 @@ def choose_serving_config(target_recall: float, *, k: int = 100) -> ServingConfi
     return _CURVE[-1]
 
 
-def measured_recall_at_k(index, exact_indices: np.ndarray, query_emb,
-                         k: int) -> float:
-    """Mean per-query overlap fraction of ``index``'s top-k with the exact
-    scan's top-k (the standard recall@k-vs-exact the serving benches use)."""
-    got = index.search(query_emb, k).indices
+def overlap_recall(got: np.ndarray, exact_indices: np.ndarray, k: int) -> float:
+    """Mean per-query overlap fraction of ``got`` [Q, k] with the exact
+    scan's top-k — the ONE recall@k-vs-exact definition calibration and
+    its out-of-sample validation share."""
     hits = 0
     for row_got, row_exact in zip(got, exact_indices):
         hits += len(np.intersect1d(row_got, row_exact, assume_unique=False))
     return hits / (exact_indices.shape[0] * k)
+
+
+def measured_recall_at_k(index, exact_indices: np.ndarray, query_emb,
+                         k: int) -> float:
+    """:func:`overlap_recall` of ``index``'s search against the exact scan."""
+    return overlap_recall(
+        np.asarray(index.search(query_emb, k).indices), exact_indices, k
+    )
 
 
 def _exact_topk_streamed(corpus_np: np.ndarray, query_emb, k: int,
@@ -138,8 +145,11 @@ def _exact_topk_streamed(corpus_np: np.ndarray, query_emb, k: int,
     n = corpus_np.shape[0]
     neg = float(np.finfo(np.float32).min)
 
+    # q rides as a jit ARGUMENT: a closed-over device array is baked into
+    # the HLO as a constant and shipped with every remote compile request
+    # (CLAUDE.md; same rule as the index topk bodies in serving/index.py)
     @jax.jit
-    def merge(best_s, best_i, block, row0, n_valid):
+    def merge(q, best_s, best_i, block, row0, n_valid):
         s = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
         # tail-chunk padding rows are unselectable
         s = jnp.where(jnp.arange(block.shape[0])[None, :] < n_valid, s, neg)
@@ -157,7 +167,7 @@ def _exact_topk_streamed(corpus_np: np.ndarray, query_emb, k: int,
         if n_valid < chunk:
             pad = np.zeros((chunk - n_valid, block.shape[1]), block.dtype)
             block = np.concatenate([block, pad])
-        best_s, best_i = merge(best_s, best_i, jnp.asarray(block),
+        best_s, best_i = merge(q, best_s, best_i, jnp.asarray(block),
                                jnp.int32(lo), jnp.int32(n_valid))
     return np.asarray(best_i)
 
@@ -227,12 +237,8 @@ def calibrate_serving_config(
         )
     measured: dict[str, float] = {}
     chosen = None
-    nq = exact_idx.shape[0]
     for cand, got in cand_results:
-        hits = sum(
-            len(np.intersect1d(g, e)) for g, e in zip(got, exact_idx)
-        )
-        r = hits / (nq * k)
+        r = overlap_recall(got, exact_idx, k)
         measured[cand.note] = r
         if chosen is None and r >= target_recall - _RECALL_TOLERANCE:
             # fastest-first order: the first measured hit is the answer

@@ -455,6 +455,7 @@ class Trainer:
         history: list[dict] = []
         examples_per_sec = 0.0
         train_loss = float("nan")
+        last_epoch_corpus = None  # final epoch's epoch_corpus_eval result
         first_dispatch = True  # first dispatch includes XLA compile: excluded
         save_every = cfg.checkpoint.save_every_steps if ckpt is not None else 0
         steps_since_save = 0
@@ -557,11 +558,12 @@ class Trainer:
                 # the stores already live in HBM, so this is seconds, not
                 # the host-assembled minutes); drives the committed
                 # headline-run artifact (scripts/train_headline.py)
-                c = self.corpus_eval(state, val_pairs)
+                last_epoch_corpus = self.corpus_eval(state, val_pairs)
                 entry.update(
-                    {f"corpus_recall@{k}": v for k, v in c.recall.items()}
+                    {f"corpus_recall@{k}": v
+                     for k, v in last_epoch_corpus.recall.items()}
                 )
-                entry["corpus_mrr"] = c.mrr
+                entry["corpus_mrr"] = last_epoch_corpus.mrr
             history.append(entry)
             if self._metrics_logger is not None:
                 self._metrics_logger.log(int(state.step), entry)
@@ -579,7 +581,9 @@ class Trainer:
 
         corpus = None
         if corpus_eval and len(val_pairs):
-            corpus = self.corpus_eval(state, val_pairs)
+            # the last epoch's per-epoch result (epoch_corpus_eval) is this
+            # exact evaluation — don't re-encode the corpus for it
+            corpus = last_epoch_corpus or self.corpus_eval(state, val_pairs)
             self.log(
                 f"corpus retrieval over {corpus.corpus_size:,} companies: "
                 + " ".join(f"recall@{k}={v:.4f}" for k, v in corpus.recall.items())

@@ -166,6 +166,15 @@ def main(argv=None) -> int:
 
         if not xla_bridge.backends_are_initialized():
             jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":
+            # never run a "CPU control" silently on the accelerator — the
+            # headline artifact's cross-backend comparison would become
+            # chip-vs-chip and pass vacuously (review finding, round 5)
+            raise SystemExit(
+                "--force-cpu could not take effect (JAX backend already "
+                f"initialized as {jax.default_backend()!r}); run in a fresh "
+                "process"
+            )
 
     from jodalrob_twotower_tpu.config import TrainConfig
     from jodalrob_twotower_tpu.train.trainer import Trainer
