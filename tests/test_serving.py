@@ -438,15 +438,21 @@ def test_choose_serving_config():
     assert "--approx-recall" in flags and "--rescore-depth" in flags
 
 
-def test_calibrate_serving_config_measures_on_the_index(rng):
+def test_calibrate_serving_config_measures_on_the_index():
     """calibrate_serving_config (VERDICT r4 #4): the selection is a
     MEASUREMENT on the given corpus/queries, not the hardcoded table —
     a candidate that genuinely loses recall on this corpus is skipped and
-    an unreachable target falls back to the exact scan."""
+    an unreachable target falls back to the exact scan.
+
+    Self-seeded rng: the assertion thresholds depend on the exact drawn
+    corpus, and the session-shared ``rng`` fixture's state varies with
+    which tests ran before (order-dependent flake in the full suite)."""
     from jodalrob_twotower_tpu.serving.autoconfig import (
         ServingConfig,
         calibrate_serving_config,
     )
+
+    rng = np.random.default_rng(321)
 
     d = 32
     # near-tie corpus: one direction + per-row noise far below the int8
@@ -468,29 +474,24 @@ def test_calibrate_serving_config_measures_on_the_index(rng):
         0.999, corpus, queries, k=10, curve=curve
     )
     # int8 rounding destroyed the near-tie ordering: measured well below
-    # the candidate's table value, so the target is unreachable -> exact
+    # the candidate's table value (near-ZERO — identical quantized rows
+    # tie-break by index order), so the target is unreachable -> exact.
+    # The acceptance branch (+ measured-recall carry-through) is covered
+    # on a well-separated corpus by
+    # test_calibrate_serving_config_default_curve.
     assert measured["plain int8"] < 0.9
     assert chosen.index_kind == "exact"
 
-    # a target below the measured value IS met by the candidate; the
-    # chosen config carries its measured (not tabled) recall. On this
-    # corpus the scramble is near-total (recall ~ k/N), so any tiny
-    # positive target exercises the acceptance branch.
-    chosen2, measured2 = calibrate_serving_config(
-        1e-4, corpus, queries, k=10, curve=curve
-    )
-    assert chosen2.index_kind == "int8"
-    assert chosen2.expected_recall == pytest.approx(
-        measured2["plain int8"], abs=1e-6
-    )
 
-
-def test_calibrate_serving_config_default_curve(rng):
+def test_calibrate_serving_config_default_curve():
     """On a well-separated corpus the default curve's first candidate
-    (rescore-400 over approx 0.90) measures ~1.0 at small scale and wins."""
+    (rescore-400 over approx 0.90) measures ~1.0 at small scale and wins.
+    Self-seeded rng (see test_calibrate_serving_config_measures_on_the_index)."""
     from jodalrob_twotower_tpu.serving.autoconfig import (
         calibrate_serving_config,
     )
+
+    rng = np.random.default_rng(654)
 
     corpus = rng.normal(size=(2048, 16)).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
@@ -499,5 +500,9 @@ def test_calibrate_serving_config_default_curve(rng):
     assert chosen.index_kind == "int8"
     assert chosen.rescore_depth == 400
     assert measured[chosen.note] >= 0.95
+    # the chosen config carries its MEASURED (not tabled) recall
+    assert chosen.expected_recall == pytest.approx(
+        measured[chosen.note], abs=1e-6
+    )
     with pytest.raises(ValueError, match="target_recall"):
         calibrate_serving_config(0.0, corpus, queries, k=10)
