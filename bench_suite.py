@@ -636,17 +636,13 @@ def serving_calibrated(n_corpus: int = 100_000, target: float = 0.99) -> None:
     fastest that meets the target — then the pick is RE-VALIDATED with an
     independent query sample (different seed), so the emitted ok-flag is an
     out-of-sample check of the calibration, not a re-read of it."""
-    import jax
     import jax.numpy as jnp
 
     from jodalrob_twotower_tpu.serving.autoconfig import (
         calibrate_serving_config,
         measured_recall_at_k,
     )
-    from jodalrob_twotower_tpu.serving.index import (
-        BruteForceIndex,
-        Int8Index,
-    )
+    from jodalrob_twotower_tpu.serving.index import Int8Index
 
     d = 128
     chunk = 262_144

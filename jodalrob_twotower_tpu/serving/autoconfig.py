@@ -127,22 +127,29 @@ def measured_recall_at_k(index, exact_indices: np.ndarray, query_emb,
 
 
 def _exact_topk_streamed(corpus_np: np.ndarray, query_emb, k: int,
-                         chunk: int) -> np.ndarray:
+                         chunk: int, query_chunk: int = 1024) -> np.ndarray:
     """Exact top-k indices [Q, k] with the corpus STREAMED from host in
     ``chunk``-row slices — nothing corpus-sized ever resident in HBM.
 
     The resident-f32 exact index (5 GB at 10M x 128) plus any candidate
     OOMs the bench chip; streaming pays one 5 GB H2D pass (~50 s at the
     tunnel's ~100 MB/s) against zero residency — the right trade for a
-    one-time calibration. A device-carried running top-k merges each
-    chunk's local top-k, so the wire returns only [Q, k] at the end.
+    one-time calibration. Queries are processed in ``query_chunk`` slices
+    (bounding the [q, chunk] score block at ~1 GB like the index search
+    paths do) INSIDE the corpus loop, so the corpus still streams once.
     """
     import jax
     import jax.numpy as jnp
 
-    q = jnp.asarray(query_emb, jnp.float32)
+    from jodalrob_twotower_tpu.serving.index import _merge_topk
 
+    q_all = jnp.asarray(query_emb, jnp.float32)
     n = corpus_np.shape[0]
+    if n < k:
+        raise ValueError(
+            f"exact reference needs at least k={k} corpus rows, got {n}"
+        )
+    chunk = min(chunk, n)  # a sub-chunk corpus must not be padded up 100x
     neg = float(np.finfo(np.float32).min)
 
     # q rides as a jit ARGUMENT: a closed-over device array is baked into
@@ -154,22 +161,30 @@ def _exact_topk_streamed(corpus_np: np.ndarray, query_emb, k: int,
         # tail-chunk padding rows are unselectable
         s = jnp.where(jnp.arange(block.shape[0])[None, :] < n_valid, s, neg)
         ls, li = jax.lax.top_k(s, k)
-        cs = jnp.concatenate([best_s, ls], axis=1)
-        ci = jnp.concatenate([best_i, li + row0], axis=1)
-        ms, sel = jax.lax.top_k(cs, k)
-        return ms, jnp.take_along_axis(ci, sel, axis=1)
+        return _merge_topk(best_s, best_i, ls, li + row0, k)
 
-    best_s = jnp.full((q.shape[0], k), neg, jnp.float32)
-    best_i = jnp.zeros((q.shape[0], k), jnp.int32)
+    q_slices = [
+        q_all[lo : lo + query_chunk]
+        for lo in range(0, q_all.shape[0], query_chunk)
+    ]
+    carry = [
+        (
+            jnp.full((qs.shape[0], k), neg, jnp.float32),
+            jnp.zeros((qs.shape[0], k), jnp.int32),
+        )
+        for qs in q_slices
+    ]
     for lo in range(0, n, chunk):
         block = np.ascontiguousarray(corpus_np[lo : lo + chunk])
         n_valid = block.shape[0]
         if n_valid < chunk:
             pad = np.zeros((chunk - n_valid, block.shape[1]), block.dtype)
             block = np.concatenate([block, pad])
-        best_s, best_i = merge(q, best_s, best_i, jnp.asarray(block),
-                               jnp.int32(lo), jnp.int32(n_valid))
-    return np.asarray(best_i)
+        block_dev = jnp.asarray(block)
+        for j, qs in enumerate(q_slices):
+            carry[j] = merge(qs, *carry[j], block_dev, jnp.int32(lo),
+                             jnp.int32(n_valid))
+    return np.concatenate([np.asarray(bi) for _, bi in carry])
 
 
 def calibrate_serving_config(
@@ -204,24 +219,13 @@ def calibrate_serving_config(
             f"target_recall must be in (0, 1], got {target_recall}"
         )
     # HBM discipline (a 10M x 128 f32 corpus is 5 GB; the bench chip OOMs
-    # with it resident next to any corpus-scale copy): candidate indexes
-    # run first, each freed after its search; the exact reference then
-    # either builds its chunked index (device corpora — small enough to
-    # have been resident at all) or STREAMS the scan from host chunks
-    # (numpy corpora — the 10M regime), keeping nothing corpus-sized
-    # resident.
-    cand_results: list[tuple[ServingConfig, np.ndarray]] = []
-    for cand in curve:
-        if cand.index_kind == "exact":
-            continue
-        idx = Int8Index(
-            corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk,
-            approx_recall=cand.approx_recall,
-            rescore_depth=cand.rescore_depth,
-            rescore_dtype=cand.rescore_dtype,
-        )
-        cand_results.append((cand, np.asarray(idx.search(query_emb, k).indices)))
-        del idx
+    # with it resident next to any corpus-scale copy): the exact reference
+    # runs FIRST — device corpora build its chunked index and free it
+    # (small enough to have been resident at all), host/numpy corpora (the
+    # 10M regime) STREAM the scan with nothing corpus-sized resident —
+    # then candidates build one at a time, fastest first, stopping at the
+    # first measured hit (later candidates are strictly slower, so they
+    # cannot change the answer).
     import jax
 
     if isinstance(corpus_emb, jax.Array):
@@ -233,16 +237,25 @@ def calibrate_serving_config(
     else:
         exact_idx = _exact_topk_streamed(
             np.asarray(corpus_emb, np.float32), query_emb, k,
-            corpus_chunk or 262_144,
+            corpus_chunk or 262_144, query_chunk=query_chunk,
         )
     measured: dict[str, float] = {}
     chosen = None
-    for cand, got in cand_results:
-        r = overlap_recall(got, exact_idx, k)
+    for cand in curve:
+        if cand.index_kind == "exact":
+            continue
+        idx = Int8Index(
+            corpus_emb, query_chunk=query_chunk, corpus_chunk=corpus_chunk,
+            approx_recall=cand.approx_recall,
+            rescore_depth=cand.rescore_depth,
+            rescore_dtype=cand.rescore_dtype,
+        )
+        r = measured_recall_at_k(idx, exact_idx, query_emb, k)
+        del idx
         measured[cand.note] = r
-        if chosen is None and r >= target_recall - _RECALL_TOLERANCE:
-            # fastest-first order: the first measured hit is the answer
+        if r >= target_recall - _RECALL_TOLERANCE:
             chosen = dataclasses.replace(cand, expected_recall=round(r, 6))
+            break
     measured["exact"] = 1.0
     if chosen is None:
         chosen = curve[-1]

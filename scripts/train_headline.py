@@ -24,7 +24,7 @@ tolerance and that both actually learned — converting "every kernel is
 bit-exact" into "the product trains at the speed we advertise".
 
 Artifacts (committed): ``artifacts/headline_b8192/{metrics.jsonl,
-train_results.csv, control_metrics.jsonl, control_results.csv,
+train_results.csv, control_metrics.jsonl, control_train_results.csv,
 summary.json}``. Checkpoints go to /tmp (not committed).
 
 Usage: ``python scripts/train_headline.py [--epochs N] [--skip-control]``
@@ -101,10 +101,13 @@ def main() -> int:
     summary: dict = {"batch_size": 8192, "scale": "bench (100k x 100k, 400k pairs)"}
     summary["chip"] = run_leg("chip", ART, args.epochs, [])
     chip = summary["chip"]
-    # learning happened: loss fell and corpus recall beats random by >=10x
-    # (random recall@100 over a 100k corpus = 1e-3)
-    assert chip["last_epoch_train_loss"] < chip["first_epoch_train_loss"], chip
-    assert chip["final_corpus_recall_at_100"] >= 0.01, chip
+    # learning criteria evaluated AFTER summary.json lands — a failed run
+    # must still leave the numbers needed to diagnose it (review finding)
+    summary["chip_learned"] = bool(
+        chip["last_epoch_train_loss"] < chip["first_epoch_train_loss"]
+        # corpus recall beats random by >=10x (random @100 over 100k = 1e-3)
+        and chip["final_corpus_recall_at_100"] >= 0.01
+    )
 
     if not args.skip_control:
         summary["control"] = run_leg(
@@ -116,9 +119,11 @@ def main() -> int:
         )
         summary["recall_at_100_abs_diff"] = round(diff, 6)
         summary["within_tolerance"] = bool(diff <= args.tolerance)
-        assert summary["within_tolerance"], summary
 
     (ART / "summary.json").write_text(json.dumps(summary, indent=2))
+    assert summary["chip_learned"], summary
+    if not args.skip_control:
+        assert summary["within_tolerance"], summary
     print(json.dumps({"bench": "headline_training_artifact", **{
         k: v for k, v in summary.items() if not isinstance(v, dict)
     }, "chip_recall_at_100": chip["final_corpus_recall_at_100"]}))
