@@ -75,6 +75,16 @@ class RetrievalService:
         compute for a 10M-row int8 scan)."""
         self.model = model
         self.cfg = cfg
+        if mesh is not None:
+            # the fused encode+search jit mixes the tower state with the
+            # mesh-sharded corpus: a single-device-committed state makes
+            # jit reject the computation (incompatible devices) — place it
+            # replicated over the serving mesh
+            from jodalrob_twotower_tpu.parallel.mesh import replicated
+
+            state = jax.device_put(
+                state, jax.tree.map(lambda _: replicated(mesh), state)
+            )
         self.state = state
         self.company_store = company_store
         self._evaluator = Evaluator(model, cfg)

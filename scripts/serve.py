@@ -58,6 +58,15 @@ def parse_args(argv=None):
                         "whose measured recall@100 vs exact meets this "
                         "target. Mutually exclusive with the manual "
                         "--index/--approx-recall/--rescore-depth knobs")
+    p.add_argument("--mesh-devices", type=int,
+                   help="serve over an N-device mesh (serving/index.py "
+                        "ShardedIndex): the corpus is row-sharded so each "
+                        "chip scores its shard and only the per-device "
+                        "top-k candidates ride the ICI — for corpora "
+                        "beyond one chip's HBM. Composes with --index "
+                        "exact/int8, --approx-recall and --rescore-depth; "
+                        "not with --corpus-chunk / --load-index / "
+                        "--save-index / --target-recall")
     p.add_argument("--save-index", type=Path, help="persist the built index (npz)")
     p.add_argument("--load-index", type=Path, help="serve a persisted index")
     p.add_argument("--k", type=int, default=10)
@@ -70,6 +79,25 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    if args.mesh_devices:
+        incompatible = [
+            name for name, val in (
+                ("--corpus-chunk", args.corpus_chunk),
+                ("--load-index", args.load_index),
+                ("--save-index", args.save_index),
+                ("--target-recall", args.target_recall),
+            ) if val is not None
+        ]
+        if incompatible:
+            raise SystemExit(
+                f"--mesh-devices cannot be combined with "
+                f"{', '.join(incompatible)}: the sharded index bounds "
+                "per-chip memory by the shard (not --corpus-chunk), is not "
+                "persistable as a single-host npz, and the measured "
+                "auto-config calibrates single-device indexes — pick the "
+                "index knobs explicitly for mesh serving"
+            )
 
     if args.target_recall is not None:
         manual = [
@@ -191,6 +219,19 @@ def main(argv=None) -> int:
                 "persisted index keeps the settings it was built with — rebuild "
                 "without --load-index to change them"
             )
+    mesh = None
+    if args.mesh_devices:
+        from jodalrob_twotower_tpu.parallel.mesh import make_mesh
+
+        avail = jax.devices()
+        if len(avail) < args.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices} but only {len(avail)} "
+                f"device(s) available ({avail[0].platform})"
+            )
+        mesh = make_mesh(avail[: args.mesh_devices])
+        print(f"mesh: {args.mesh_devices} devices (corpus row-sharded)",
+              file=sys.stderr)
     svc = RetrievalService(
         model, cfg, state, company_store,
         index_kind=args.index,
@@ -198,6 +239,7 @@ def main(argv=None) -> int:
         approx_recall=args.approx_recall,
         rescore_depth=args.rescore_depth,
         rescore_dtype=args.rescore_dtype,
+        mesh=mesh,
         precomputed_corpus_emb=precomputed_emb,
         prebuilt_index=prebuilt,
     )

@@ -98,3 +98,74 @@ def test_serve_cli_end_to_end(tmp_path):
     ])
     assert proc.returncode != 0
     assert "--target-recall picks" in proc.stderr
+
+
+def test_serve_cli_mesh_matches_single(tmp_path):
+    """serve.py --mesh-devices (round 5): the ShardedIndex CLI path serves
+    the same top-k as the single-device exact index, and the incompatible
+    flag combinations fail fast."""
+    cfg = TrainConfig(
+        model=ModelConfig(
+            categorical_embedding_dim=8,
+            dense_projection_dim=16,
+            tower_hidden_dims=(32, 16),
+            final_embedding_dim=8,
+            dropout_rate=0.0,
+            compute_dtype="float32",
+        ),
+        loss=LossConfig(temperature=0.2),
+        optimizer=OptimizerConfig(num_epochs=1),
+        data=DataConfig(batch_size=64, pair_limit=2000),
+        results_csv="",
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+    out_dir = tmp_path / "out"
+
+    def run8(script_args, timeout=600):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        env.pop("PYTHONPATH", None)
+        return subprocess.run(
+            [sys.executable, *script_args], capture_output=True, text=True,
+            timeout=timeout, env=env, cwd="/root/repo",
+        )
+
+    proc = run8([
+        "scripts/train.py", "--config", str(cfg_path), "--synthetic",
+        "--output-dir", str(out_dir), "--no-corpus-eval",
+    ])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    single = tmp_path / "single.jsonl"
+    proc = run8([
+        "scripts/serve.py", "--model-dir", str(out_dir), "--synthetic",
+        "--index", "exact", "--k", "5", "--queries", "40",
+        "--output", str(single),
+    ])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    meshed = tmp_path / "mesh.jsonl"
+    proc = run8([
+        "scripts/serve.py", "--model-dir", str(out_dir), "--synthetic",
+        "--index", "exact", "--k", "5", "--queries", "40",
+        "--mesh-devices", "8", "--output", str(meshed),
+    ])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "corpus row-sharded" in proc.stderr
+
+    got_s = [json.loads(l) for l in single.read_text().splitlines()]
+    got_m = [json.loads(l) for l in meshed.read_text().splitlines()]
+    assert [h["top_k"] for h in got_m] == [h["top_k"] for h in got_s]
+
+    # incompatible combinations fail fast with a clear message
+    proc = run8([
+        "scripts/serve.py", "--model-dir", str(out_dir), "--synthetic",
+        "--mesh-devices", "8", "--target-recall", "0.95",
+    ])
+    assert proc.returncode != 0
+    assert "--mesh-devices cannot be combined" in proc.stderr
