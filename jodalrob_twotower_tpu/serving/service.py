@@ -76,6 +76,16 @@ class RetrievalService:
         self.model = model
         self.cfg = cfg
         if mesh is not None:
+            if prebuilt_index is not None:
+                # a persisted index is a single-host npz committed to one
+                # device; mixing it with a mesh-replicated state would hit
+                # the same incompatible-devices rejection the state fix
+                # below exists for — rebuild the index under the mesh
+                raise ValueError(
+                    "prebuilt_index cannot be combined with a mesh: "
+                    "persisted indexes are single-host — rebuild with "
+                    "mesh=... (ShardedIndex) instead"
+                )
             # the fused encode+search jit mixes the tower state with the
             # mesh-sharded corpus: a single-device-committed state makes
             # jit reject the computation (incompatible devices) — place it
