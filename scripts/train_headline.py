@@ -46,7 +46,8 @@ REPO = Path(__file__).resolve().parent.parent
 ART = REPO / "artifacts" / "headline_b8192"
 
 
-def run_leg(name: str, art: Path, epochs: int, extra: list[str]) -> dict:
+def run_leg(name: str, art: Path, epochs: int, extra: list[str],
+            *, batch_size: int = 8192, scale: str = "bench") -> dict:
     art.mkdir(parents=True, exist_ok=True)
     results_csv = art / f"{'control_' if name == 'control' else ''}train_results.csv"
     metrics_jsonl = art / f"{'control_' if name == 'control' else ''}metrics.jsonl"
@@ -56,8 +57,8 @@ def run_leg(name: str, art: Path, epochs: int, extra: list[str]) -> dict:
     ckpt = Path(tempfile.mkdtemp(prefix=f"headline_{name}_"))
     cmd = [
         sys.executable, "scripts/train.py",
-        "--synthetic", "--synthetic-scale", "bench",
-        "--batch-size", "8192", "--epochs", str(epochs),
+        "--synthetic", "--synthetic-scale", scale,
+        "--batch-size", str(batch_size), "--epochs", str(epochs),
         "--sample-on-device", "--epoch-corpus-eval",
         "--output-dir", str(ckpt),
         "--results-csv", str(results_csv),
@@ -96,22 +97,44 @@ def main() -> int:
                     help="chip leg only (the control takes tens of CPU-minutes)")
     ap.add_argument("--tolerance", type=float, default=0.05,
                     help="max |chip - control| final corpus recall@100")
+    ap.add_argument("--smoke", action="store_true",
+                    help="hermetic smoke: tiny scale, B=256, BOTH legs on "
+                         "CPU, artifacts to a temp dir — exercises the "
+                         "whole driver (tests/test_train_headline.py) "
+                         "without the chip or the bench-scale minutes")
     args = ap.parse_args()
 
-    summary: dict = {"batch_size": 8192, "scale": "bench (100k x 100k, 400k pairs)"}
-    summary["chip"] = run_leg("chip", ART, args.epochs, [])
+    art = ART
+    scale, batch = "bench", 8192
+    chip_extra: list[str] = []
+    if args.smoke:
+        art = Path(tempfile.mkdtemp(prefix="headline_smoke_"))
+        scale, batch = "tiny", 256
+        chip_extra = ["--force-cpu", "--mesh-devices", "1"]
+
+    summary: dict = {
+        "batch_size": batch,
+        "scale": "bench (100k x 100k, 400k pairs)" if scale == "bench"
+        else "tiny (smoke)",
+    }
+    summary["chip"] = run_leg("chip", art, args.epochs, chip_extra,
+                              batch_size=batch, scale=scale)
     chip = summary["chip"]
     # learning criteria evaluated AFTER summary.json lands — a failed run
-    # must still leave the numbers needed to diagnose it (review finding)
+    # must still leave the numbers needed to diagnose it (review finding).
+    # threshold = 10x random recall@100 (1e-3 at the bench corpus's 100k
+    # companies; 1e-2 at the tiny smoke corpus's 10k)
+    min_recall = 0.1 if args.smoke else 0.01
     summary["chip_learned"] = bool(
         chip["last_epoch_train_loss"] < chip["first_epoch_train_loss"]
-        # corpus recall beats random by >=10x (random @100 over 100k = 1e-3)
-        and chip["final_corpus_recall_at_100"] >= 0.01
+        and chip["final_corpus_recall_at_100"] >= min_recall
     )
 
     if not args.skip_control:
         summary["control"] = run_leg(
-            "control", ART, args.epochs, ["--force-cpu", "--mesh-devices", "8"]
+            "control", art, args.epochs,
+            ["--force-cpu", "--mesh-devices", "8"],
+            batch_size=batch, scale=scale,
         )
         diff = abs(
             chip["final_corpus_recall_at_100"]
@@ -120,13 +143,14 @@ def main() -> int:
         summary["recall_at_100_abs_diff"] = round(diff, 6)
         summary["within_tolerance"] = bool(diff <= args.tolerance)
 
-    (ART / "summary.json").write_text(json.dumps(summary, indent=2))
+    (art / "summary.json").write_text(json.dumps(summary, indent=2))
     assert summary["chip_learned"], summary
     if not args.skip_control:
         assert summary["within_tolerance"], summary
     print(json.dumps({"bench": "headline_training_artifact", **{
         k: v for k, v in summary.items() if not isinstance(v, dict)
-    }, "chip_recall_at_100": chip["final_corpus_recall_at_100"]}))
+    }, "chip_recall_at_100": chip["final_corpus_recall_at_100"],
+       "artifacts": str(art)}))
     return 0
 
 
